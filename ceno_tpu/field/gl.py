@@ -119,11 +119,16 @@ def _sub64(alo, ahi, blo, bhi):
 
 def _cond_sub_p(lo, hi):
     """One conditional subtraction of p; input < 2^64, output canonical if
-    input < 2p."""
+    input < 2p.
+
+    Uses bitmask selection instead of jnp.where: deep compositions of
+    select ops trigger a pathological XLA:CPU optimization pass (70s+ compile
+    for a single Poseidon round); the bitwise form compiles in milliseconds
+    and is branch-free on the VPU anyway."""
     # p = (lo=1, hi=0xFFFFFFFF)
     slo, shi, borrow = _sub64(lo, hi, _U32(1), _U32(0xFFFFFFFF))
-    geq = borrow == 0
-    return jnp.where(geq, slo, lo), jnp.where(geq, shi, hi)
+    keep = borrow * _U32(0xFFFFFFFF)  # all-ones if input < p (keep original)
+    return slo ^ ((slo ^ lo) & keep), shi ^ ((shi ^ hi) & keep)
 
 
 def _fold_carry(lo, hi, carry):
@@ -243,8 +248,11 @@ def inv(a: Gl) -> Gl:
 
 
 def select(mask, a: Gl, b: Gl) -> Gl:
-    """Elementwise: mask ? a : b (mask is a boolean array)."""
-    return Gl(jnp.where(mask, a.lo, b.lo), jnp.where(mask, a.hi, b.hi))
+    """Elementwise: mask ? a : b (mask is a boolean array).
+
+    Bitmask form — see _cond_sub_p for why jnp.where is avoided."""
+    m = jnp.asarray(mask).astype(jnp.uint32) * _U32(0xFFFFFFFF)
+    return Gl(b.lo ^ ((b.lo ^ a.lo) & m), b.hi ^ ((b.hi ^ a.hi) & m))
 
 
 def is_zero(a: Gl):

@@ -15,3 +15,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+# NOTE: do NOT enable the persistent compilation cache here — in this
+# environment CPU compiles can be served by a remote compile service with
+# mismatched machine features, and reloading those AOT blobs hangs/SIGILLs.
