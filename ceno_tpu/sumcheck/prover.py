@@ -1,0 +1,307 @@
+"""Devirgo two-phase sumcheck prover, TPU-native.
+
+Protocol and transcript schedule match the reference exactly
+(/root/reference/sumcheck/src/prover_v2.rs:36-315):
+
+* absorb ``num_total_vars`` then ``max_degree`` (as u64 messages);
+* phase 1: ``n - log2(T)`` rounds; each round the d+1 univariate evaluations
+  are *summed across all T shards* before being absorbed (so the transcript —
+  hence the proof — is independent of how the work is laid out), then the
+  challenge is ``get_and_append_challenge(b"Internal round")``;
+* phase 2: merge per-shard final values into a log2(T)-var poly and run the
+  remaining rounds (/root/reference/sumcheck/src/prover_v2.rs:257-298).
+
+TPU-native design: the reference fans out OS threads and syncs them through
+crossbeam channels (TranscriptSyncronized).  Here a "thread" is a leading
+shard axis on every MLE array: phase-1 rounds are batched elementwise ops of
+shape (T, L) and the cross-shard sum is one reduction — ``jnp.sum`` on a
+single chip, ``psum`` over the device mesh under ``shard_map``
+(see ceno_tpu/parallel/).
+
+Compilation model: one fused jitted kernel per round shape — "fold previous
+challenge into every MLE, then compute this round's d+1 evaluations"
+(mirroring the reference's prove_round_and_update_state) — cached by
+structure signature.  Because the zkvm proves many sumchecks over the same
+term structures at geometrically shrinking sizes (tower layers), these
+kernels are compiled once per (structure, size) and reused everywhere;
+the per-round host dispatch is 2 calls (round kernel + transcript absorb).
+
+Round-evaluation kernels mirror prover_v2.rs:431-533: a degree-d product
+contributes evals at t=0..d via prod_i(even_i + t*(odd_i - even_i)); factors
+shorter than the max num_vars are scaled by 2^(missing vars)
+(prover_v2.rs:425-430, passed in as a dynamic per-term scale so the kernel
+is shape-keyed only); lower-degree products are extrapolated to
+max_degree+1 points by exact Lagrange interpolation at integer nodes
+(same field values as the reference's barycentric path, util.rs:105-145).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..field import fops, gl, gl2
+from ..field.gl import Gl
+from ..field.gl2 import Gl2
+from ..transcript import basic as tr
+from .virtual_poly import VirtualPoly
+
+P = gl.P
+
+
+class SumcheckProof(NamedTuple):
+    point: List[Gl2]  # n challenges (phase1 + phase2)
+    round_evals: List[Gl2]  # per round: (max_degree+1,) ext elements
+
+
+def _length(m) -> int:
+    return m.lo.shape[-1] if isinstance(m, Gl) else m.c0.lo.shape[-1]
+
+
+def _fold_last(m, r: Gl2):
+    """Fold the lowest variable (last-axis pairs) at ext point r."""
+    lo = m[..., 0::2]
+    hi = m[..., 1::2]
+    return fops.add(fops.mul(fops.sub(hi, lo), r), fops.to_ext(lo))
+
+
+def _lagrange_int_coeffs(num_points: int, at: int) -> List[int]:
+    """c_i = prod_{j!=i}(at-j)/(i-j) mod P for points 0..num_points-1."""
+    coeffs = []
+    for i in range(num_points):
+        num, den = 1, 1
+        for j in range(num_points):
+            if j != i:
+                num = num * (at - j) % P
+                den = den * (i - j) % P
+        coeffs.append(num * pow(den, P - 2, P) % P)
+    return coeffs
+
+
+def _term_round_evals(factors, degree: int, max_degree: int) -> List[Gl2]:
+    """Evals of one product term's round polynomial at t = 0..max_degree.
+
+    factors: equal-length arrays with the hypercube on the last axis; all
+    leading axes (the shard axis) are summed into the result.
+    Returns max_degree+1 ext scalars (extrapolated beyond degree).
+    """
+    L = _length(factors[0])
+    if L == 1:
+        prod = factors[0][..., 0]
+        for f in factors[1:]:
+            prod = fops.mul(prod, f[..., 0])
+        v = fops.to_ext(fops.sum_reduce(prod)) if prod.shape else fops.to_ext(prod)
+        return [v] * (max_degree + 1)
+
+    evens = [f[..., 0::2] for f in factors]
+    odds = [f[..., 1::2] for f in factors]
+    diffs = [fops.sub(o, e) for o, e in zip(odds, evens)]
+
+    def point_sum(vals):
+        prod = vals[0]
+        for v in vals[1:]:
+            prod = fops.mul(prod, v)
+        return fops.to_ext(fops.sum_reduce(prod))
+
+    evals = [point_sum(evens), point_sum(odds)]
+    cur = odds
+    for _t in range(2, degree + 1):
+        cur = [fops.add(c, d) for c, d in zip(cur, diffs)]
+        evals.append(point_sum(cur))
+
+    if degree < max_degree:
+        # exact Lagrange extrapolation at integer nodes (matches the
+        # reference's barycentric extrapolate, sumcheck/src/util.rs:105-145)
+        base = list(evals)
+        for at in range(degree + 1, max_degree + 1):
+            coeffs = _lagrange_int_coeffs(degree + 1, at)
+            acc = gl2.zeros(())
+            for c, e in zip(coeffs, base):
+                acc = gl2.add(acc, gl2.mul(e, gl2.const(c)))
+            evals.append(acc)
+    return evals
+
+
+# ---------------------------------------------------------------------------
+# Shape-keyed jitted kernels
+# ---------------------------------------------------------------------------
+
+_KERNELS = {}
+
+
+def _sig(mles, factors, max_degree, has_challenge):
+    return (
+        tuple(factors),
+        tuple((isinstance(m, Gl2), m.shape) for m in mles),
+        max_degree,
+        has_challenge,
+    )
+
+
+def _round_kernel(mles, scales, challenge, factors, max_degree):
+    """Fold challenge (if given) into every MLE, then compute round evals.
+
+    scales: per-term Gl2 scalar = coeff * 2^(num-var deficit) for this round.
+    Returns (new_mles, (max_degree+1,) Gl2 evals).
+    """
+    if challenge is not None:
+        mles = [
+            _fold_last(m, challenge) if _length(m) > 1 else fops.to_ext(m)
+            for m in mles
+        ]
+    total: List[Optional[Gl2]] = [None] * (max_degree + 1)
+    for scale, fac in zip(scales, factors):
+        fs = [mles[i] for i in fac]
+        evals = _term_round_evals(fs, len(fac), max_degree)
+        for t in range(max_degree + 1):
+            v = gl2.mul(evals[t], scale)
+            total[t] = v if total[t] is None else gl2.add(total[t], v)
+    return mles, gl2.stack(total)
+
+
+def _run_round(mles, scales, challenge, factors, max_degree):
+    key = _sig(mles, factors, max_degree, challenge is not None)
+    if key not in _KERNELS:
+        fn = partial(_round_kernel, factors=tuple(factors), max_degree=max_degree)
+        _KERNELS[key] = jax.jit(
+            (lambda m, s, c: fn(m, s, c))
+            if challenge is not None
+            else (lambda m, s: fn(m, s, None))
+        )
+    if challenge is not None:
+        return _KERNELS[key](mles, scales, challenge)
+    return _KERNELS[key](mles, scales)
+
+
+_FOLD_KERNELS = {}
+
+
+def _run_final_fold(mles, challenge):
+    key = tuple((isinstance(m, Gl2), m.shape) for m in mles)
+    if key not in _FOLD_KERNELS:
+        _FOLD_KERNELS[key] = jax.jit(
+            lambda ms, c: [
+                _fold_last(m, c) if _length(m) > 1 else fops.to_ext(m) for m in ms
+            ]
+        )
+    return _FOLD_KERNELS[key](mles, challenge)
+
+
+_ABSORB_KERNELS = {}
+
+
+def _absorb_round(ts, evals: Gl2):
+    """Absorb the round evals and sample the round challenge (jitted)."""
+    k = evals.c0.lo.shape[0]
+    if k not in _ABSORB_KERNELS:
+
+        def go(ts_state, ev):
+            ts2 = tr.absorb_exts(ts_state, ev)
+            return tr.get_and_append_challenge(ts2, b"Internal round")
+
+        _ABSORB_KERNELS[k] = jax.jit(go)
+    return _ABSORB_KERNELS[k](ts, evals)
+
+
+_SCALE_KERNEL = None
+
+
+def _term_scale(coeff: Gl2, mult: int) -> Gl2:
+    global _SCALE_KERNEL
+    if mult == 0:
+        return coeff
+    if _SCALE_KERNEL is None:
+        _SCALE_KERNEL = jax.jit(gl2.mul)
+    return _SCALE_KERNEL(coeff, gl2.full((), 1 << mult))
+
+
+# ---------------------------------------------------------------------------
+# The prover
+# ---------------------------------------------------------------------------
+
+
+def prove(
+    poly: VirtualPoly,
+    ts: tr.TranscriptState,
+    num_shards: int = 1,
+) -> Tuple[SumcheckProof, List[Gl2], tr.TranscriptState]:
+    """Prove Sum_{b in {0,1}^n} poly(b); returns (proof, final MLE evals, ts).
+
+    ``num_shards`` (power of two) reproduces the reference's max_thread_id:
+    it is a protocol parameter (it moves log2(T) variables from phase 1 to
+    phase 2) but the *transcript layout* is shard-oblivious, matching
+    prover_v2.rs:66 absorbing num_vars_local + log2(T) = total vars.
+    """
+    n = poly.num_vars
+    if n == 0:
+        return SumcheckProof([], []), [fops.to_ext(m) for m in poly.mles], ts
+
+    T = num_shards
+    assert T & (T - 1) == 0 and T >= 1
+    logT = T.bit_length() - 1
+    assert logT < n, "need at least 1 local variable per shard"
+    n_local = n - logT
+    max_degree = poly.max_degree
+
+    ts = tr.absorb_base(ts, _u64_elem(n))
+    ts = tr.absorb_base(ts, _u64_elem(max_degree))
+
+    # shard layout: MLE of length 2^k -> (T, 2^k / T); shard s owns the
+    # contiguous range [s*2^(k-logT), (s+1)*...) = the top logT index bits,
+    # mirroring VirtualPolynomials' ranged slices (virtual_polys.rs:44-56).
+    def to_shards(m):
+        ln = _length(m)
+        assert ln >= T, "MLE shorter than shard count"
+        return m.reshape(T, ln // T)
+
+    mles = [to_shards(m) for m in poly.mles]
+    factors = [t.factors for t in poly.terms]
+    coeffs = [t.coeff for t in poly.terms]
+
+    challenges: List[Gl2] = []
+    msgs: List[Gl2] = []
+    challenge = None
+
+    def scales_for(round_1idx, num_vars_phase):
+        out = []
+        for term in poly.terms:
+            ln = _length(mles[term.factors[0]])
+            if challenge is not None and ln > 1:
+                ln //= 2  # kernel folds before evaluating
+            log_len = max(ln.bit_length() - 1, 1)
+            mult = max(num_vars_phase - (log_len + round_1idx - 1), 0)
+            out.append(_term_scale(term.coeff, mult))
+        return out
+
+    # ---- phase 1: n_local rounds over (T, L) arrays ---------------------
+    for rnd in range(1, n_local + 1):
+        scales = scales_for(rnd, n_local)
+        mles, evals = _run_round(mles, scales, challenge, factors, max_degree)
+        ts, challenge = _absorb_round(ts, evals)
+        msgs.append(evals)
+        challenges.append(challenge)
+
+    mles = _run_final_fold(mles, challenge)
+
+    # ---- merge: per-shard scalars -> logT-var poly -----------------------
+    # (merge_sumcheck_polys_v2, /root/reference/sumcheck/src/util.rs:224+)
+    if logT:
+        mles = [m[..., 0].reshape(1, T) for m in mles]
+        challenge = None
+        for rnd in range(1, logT + 1):
+            scales = scales_for(rnd, logT)
+            mles, evals = _run_round(mles, scales, challenge, factors, max_degree)
+            ts, challenge = _absorb_round(ts, evals)
+            msgs.append(evals)
+            challenges.append(challenge)
+        mles = _run_final_fold(mles, challenge)
+
+    final_evals = [fops.to_ext(m[0, 0]) for m in mles]
+    return SumcheckProof(challenges, msgs), final_evals, ts
+
+
+def _u64_elem(v: int) -> Gl:
+    return gl.from_u64(np.asarray([v], dtype=np.uint64))
