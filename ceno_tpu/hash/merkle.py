@@ -1,108 +1,162 @@
-"""Poseidon Merkle trees over field-element leaf matrices.
+"""Poseidon Merkle trees over field-element leaf matrices, TPU-native.
 
-Mirrors the reference Merkle semantics (/root/reference/mpcs/src/util/
-merkle_tree.rs): a leaf may carry several field elements (values of several
-polynomials at the same index, interleaved); the leaf digest is
-``hash_or_noop`` of those values; inner nodes are ``two_to_one``
-compressions; extension-field values are flattened to their two base
-coefficients.
+Structure matches the reference exactly (/root/reference/mpcs/src/util/
+merkle_tree.rs:256-330 `merkelize` and util/hash.rs:20-49):
 
-TPU-native: each level is one batched Poseidon call over all nodes at that
-level (digests are laid out (4, n) with the node index riding the TPU lane
-dimension), so a 2^k-leaf tree is k kernel launches, each fully parallel.
+* leaves are m parallel vectors (polynomials) of n field elements each
+  (base or extension; extension values flatten to [c0, c1] base pairs);
+* the bottom digest layer hashes *adjacent pairs* of positions:
+  - m == 1: digest[i] = hash_or_noop(leaf[2i] || leaf[2i+1])
+  - m  > 1: digest[i] = two_to_one(hash_or_noop(column 2i),
+                                   hash_or_noop(column 2i+1))
+* upper layers are two_to_one compressions; the tree has log2(n) digest
+  layers; an authentication path carries the sibling digests of layers
+  0..log2(n)-2 ("without leaf sibling or root": the leaf pair is supplied
+  by the query itself).
+
+TPU-native: each layer is one batched Poseidon call with the node index on
+the TPU lane axis; path extraction is static gathers; path verification is
+vectorized over all queried indices at once.
 """
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Tuple
 
 import numpy as np
 import jax.numpy as jnp
 
-from ..field import fops, gl
+from ..field import fops, gl, gl2
 from ..field.gl import Gl
 from ..field.gl2 import Gl2
 from . import poseidon
 from .poseidon_constants import DIGEST_WIDTH
 
 
-def leaf_matrix(values) -> Gl:
-    """Normalize leaf values to a base-field matrix (m, n): n leaves with m
-    base elements each.  Accepts Gl (m, n) / Gl (n,) / Gl2 (flattened to
-    2 coefficients per element, interleaved [c0, c1])."""
+def to_base_matrix(values) -> Tuple[Gl, bool]:
+    """(k, n) base matrix from one poly's values; k=1 (base) or 2 (ext:
+    rows [c0, c1])."""
     if isinstance(values, Gl2):
-        lo = jnp.stack([values.c0.lo, values.c1.lo], axis=0)
-        hi = jnp.stack([values.c0.hi, values.c1.hi], axis=0)
-        values = Gl(lo.reshape(-1, lo.shape[-1]) if lo.ndim > 2 else lo,
-                    hi.reshape(-1, hi.shape[-1]) if hi.ndim > 2 else hi)
+        return Gl(
+            jnp.stack([values.c0.lo, values.c1.lo]),
+            jnp.stack([values.c0.hi, values.c1.hi]),
+        ), True
     if values.lo.ndim == 1:
-        values = Gl(values.lo[None, :], values.hi[None, :])
-    return values
+        return Gl(values.lo[None, :], values.hi[None, :]), False
+    return values, False
 
 
-def hash_leaves(values) -> Gl:
-    """Leaf digests (4, n) from a leaf matrix (see leaf_matrix)."""
-    return poseidon.hash_or_noop(leaf_matrix(values))
+def _pair_columns(mat: Gl) -> Tuple[Gl, Gl]:
+    """Split (k, n) into even/odd columns (k, n/2)."""
+    return mat[:, 0::2], mat[:, 1::2]
 
 
-def build_layers(leaf_digests: Gl) -> List[Gl]:
-    """All digest layers from leaves (4, n) up to the root (4, 1)."""
-    layers = [leaf_digests]
-    cur = leaf_digests
-    while cur.lo.shape[1] > 1:
-        cur = poseidon.two_to_one(cur[:, 0::2], cur[:, 1::2])
-        layers.append(cur)
-    return layers
+def hash_leaf_layer(polys: List) -> Gl:
+    """Bottom digest layer (4, n/2) from m leaf vectors of length n."""
+    mats = [to_base_matrix(p)[0] for p in polys]
+    if len(mats) == 1:
+        even, odd = _pair_columns(mats[0])
+        # hash_or_noop(leaf[2i] || leaf[2i+1]) over base elements
+        return poseidon.hash_or_noop(gl.concat([even, odd], axis=0))
+    full = gl.concat(mats, axis=0)  # (sum_k, n)
+    even, odd = _pair_columns(full)
+    return poseidon.two_to_one(poseidon.hash_or_noop(even), poseidon.hash_or_noop(odd))
 
 
 class MerkleTree:
-    """Committed tree: leaf value matrix + digest layers up to the root."""
+    """Committed tree over m parallel leaf vectors (reference `MerkleTree`)."""
 
-    def __init__(self, values):
-        self.values = leaf_matrix(values)  # (m, n) base elements
-        n = self.values.lo.shape[1]
-        assert n & (n - 1) == 0, "leaf count must be a power of two"
-        self.layers = build_layers(hash_leaves(self.values))
-
-    @property
-    def num_leaves(self) -> int:
-        return self.values.lo.shape[1]
+    def __init__(self, polys):
+        # NOTE: Gl/Gl2 are NamedTuples, so check for them before list/tuple
+        if isinstance(polys, (Gl, Gl2)) or not isinstance(polys, (list, tuple)):
+            polys = [polys]
+        self.polys = list(polys)
+        n = (
+            polys[0].lo.shape[-1]
+            if isinstance(polys[0], Gl)
+            else polys[0].c0.lo.shape[-1]
+        )
+        assert n & (n - 1) == 0 and n >= 2, "leaf count must be a power of two >= 2"
+        self.num_leaves = n
+        # inner[0] = bottom pair digests (4, n/2) ... inner[-1] = root (4, 1)
+        layers = [hash_leaf_layer(self.polys)]
+        while layers[-1].lo.shape[1] > 1:
+            cur = layers[-1]
+            layers.append(poseidon.two_to_one(cur[:, 0::2], cur[:, 1::2]))
+        self.inner = layers
 
     @property
     def height(self) -> int:
-        return len(self.layers) - 1
+        """Number of digest layers = log2(num_leaves)."""
+        return len(self.inner)
 
     def root(self) -> Gl:
-        return self.layers[-1][:, 0]
+        return self.inner[-1][:, 0]
 
-    def leaf_values(self, indices: np.ndarray) -> Gl:
-        """Leaf value columns (m, k) at the given indices."""
-        return gl.take(self.values, jnp.asarray(indices), axis=1)
+    def leaf_pairs(self, indices: np.ndarray):
+        """Values at (2*(i>>1), 2*(i>>1)+1) for each queried index: list per
+        poly of (left, right) value pairs, matching the original field type.
+        Shapes: base poly -> ((k,), (k,)) arrays of shape (len(indices),)."""
+        indices = np.asarray(indices, dtype=np.int64)
+        left = jnp.asarray((indices >> 1) << 1)
+        right = jnp.asarray(((indices >> 1) << 1) + 1)
+        out = []
+        for p in self.polys:
+            out.append((fops.take(p, left, axis=-1), fops.take(p, right, axis=-1)))
+        return out
 
     def paths(self, indices: np.ndarray) -> Gl:
-        """Sibling digests for each index: (height, 4, k)."""
+        """Sibling digests excluding leaf pair and root: (height-1, 4, q).
+
+        Layer l sibling for leaf index i is inner[l][(i >> (l+1)) ^ 1].
+        """
         indices = np.asarray(indices, dtype=np.int64)
         sibs = []
-        for level in range(self.height):
-            node = (indices >> level) ^ 1
-            sibs.append(gl.take(self.layers[level], jnp.asarray(node), axis=1))
-        return gl.stack(sibs, axis=0) if sibs else gl.zeros((0, DIGEST_WIDTH, len(indices)))
+        for level in range(self.height - 1):
+            node = (indices >> (level + 1)) ^ 1
+            sibs.append(gl.take(self.inner[level], jnp.asarray(node), axis=1))
+        if not sibs:
+            return gl.zeros((0, DIGEST_WIDTH, len(indices)))
+        return gl.stack(sibs, axis=0)
+
+    def batch_leaves(self, coeffs: Gl2) -> Gl2:
+        """RLC of the m leaf vectors with ext coefficients (merkle_tree.rs
+        batch_leaves)."""
+        acc = None
+        for i, p in enumerate(self.polys):
+            term = fops.mul(fops.to_ext(p), coeffs[i])
+            acc = term if acc is None else gl2.add(acc, term)
+        return acc
 
 
-def verify_path(
-    root: Gl, index: int, leaf_values: Gl, path: Gl, height: int
-) -> bool:
-    """Host-side path check: recompute the root from one leaf's values and
-    its sibling path.  leaf_values: (m,) column; path: (height, 4)."""
-    digest = poseidon.hash_or_noop(
-        Gl(leaf_values.lo[:, None], leaf_values.hi[:, None])
-    )  # (4, 1)
-    for level in range(height):
-        sib = Gl(path.lo[level][:, None], path.hi[level][:, None])
-        if (index >> level) & 1:
-            digest = poseidon.two_to_one(sib, digest)
-        else:
-            digest = poseidon.two_to_one(digest, sib)
-    got = gl.to_u64(digest[:, 0])
-    want = gl.to_u64(root)
-    return bool(np.array_equal(got, want))
+def leaf_pair_digest(left_cols: Gl, right_cols: Gl, num_polys: int) -> Gl:
+    """Recompute a bottom digest from queried leaf pair columns (k, q)."""
+    if num_polys == 1:
+        return poseidon.hash_or_noop(gl.concat([left_cols, right_cols], axis=0))
+    return poseidon.two_to_one(
+        poseidon.hash_or_noop(left_cols), poseidon.hash_or_noop(right_cols)
+    )
+
+
+def verify_paths(
+    root: Gl,
+    indices: np.ndarray,
+    bottom_digests: Gl,
+    paths: Gl,
+) -> jnp.ndarray:
+    """Vectorized path check for q queries at once.
+
+    bottom_digests: (4, q) recomputed pair digests; paths: (levels, 4, q).
+    Returns an on-device bool scalar (all paths authenticate).
+    """
+    indices = np.asarray(indices, dtype=np.int64)
+    digest = bottom_digests
+    levels = paths.lo.shape[0]
+    for level in range(levels):
+        sib = paths[level]
+        bit = jnp.asarray(((indices >> (level + 1)) & 1) == 1)
+        left = gl.select(bit[None, :], sib, digest)
+        right = gl.select(bit[None, :], digest, sib)
+        digest = poseidon.two_to_one(left, right)
+    want = Gl(root.lo[:, None], root.hi[:, None])
+    return jnp.all(gl.eq(digest, want))

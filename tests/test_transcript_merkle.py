@@ -67,38 +67,58 @@ def test_mutable_wrapper_equivalent():
 
 
 def test_merkle_build_and_verify():
+    """Pair-leaf tree (reference merkelize): batch of 3 polys, path checks."""
     n, m = 16, 3
-    values = gl.from_u64(rng.integers(0, P, size=(m, n), dtype=np.uint64))
-    tree = merkle.MerkleTree(values)
-    assert tree.height == 4
+    polys = [
+        gl.from_u64(rng.integers(0, P, size=n, dtype=np.uint64)) for _ in range(m)
+    ]
+    tree = merkle.MerkleTree(polys)
+    assert tree.height == 4  # log2(16) digest layers
     root = tree.root()
     idx = np.array([0, 5, 15])
     paths = tree.paths(idx)
-    leaves = tree.leaf_values(idx)
-    for k, i in enumerate(idx):
-        ok = merkle.verify_path(
-            root,
-            int(i),
-            gl.Gl(leaves.lo[:, k], leaves.hi[:, k]),
-            gl.Gl(paths.lo[:, :, k], paths.hi[:, :, k]),
-            tree.height,
-        )
-        assert ok, i
+    pairs = tree.leaf_pairs(idx)
+    left = gl.stack([p[0] for p in pairs], axis=0)  # (m, q)
+    right = gl.stack([p[1] for p in pairs], axis=0)
+    bottom = merkle.leaf_pair_digest(left, right, m)
+    ok = merkle.verify_paths(root, idx, bottom, paths)
+    assert bool(ok)
     # tamper: wrong leaf must fail
-    bad = gl.Gl(leaves.lo[:, 0] + 1, leaves.hi[:, 0])
-    assert not merkle.verify_path(
-        root, int(idx[0]), bad,
-        gl.Gl(paths.lo[:, :, 0], paths.hi[:, :, 0]), tree.height,
-    )
+    bad_left = gl.Gl(left.lo.at[0, 0].add(1), left.hi)
+    bad_bottom = merkle.leaf_pair_digest(bad_left, right, m)
+    assert not bool(merkle.verify_paths(root, idx, bad_bottom, paths))
 
 
 def test_merkle_root_vs_oracle():
+    """Single-poly pair-leaf tree vs the pure-python Poseidon oracle:
+    digest[i] = noop(leaf[2i] || leaf[2i+1]); inner = two_to_one."""
     n = 8
-    values = gl.from_u64(rng.integers(0, P, size=(2, n), dtype=np.uint64))
-    tree = merkle.MerkleTree(values)
-    # oracle: leaf digest = noop-pad (2 values -> digest), then two_to_one up
-    vals = np.asarray(gl.to_u64(values))
-    digests = [[int(vals[0, i]), int(vals[1, i]), 0, 0] for i in range(n)]
+    values = rng.integers(0, P, size=n, dtype=np.uint64)
+    tree = merkle.MerkleTree(gl.from_u64(values))
+    digests = [
+        [int(values[2 * i]), int(values[2 * i + 1]), 0, 0] for i in range(n // 2)
+    ]
+    while len(digests) > 1:
+        digests = [
+            oracle.two_to_one(digests[2 * i], digests[2 * i + 1])
+            for i in range(len(digests) // 2)
+        ]
+    assert [int(x) for x in gl.to_u64(tree.root())] == digests[0]
+
+
+def test_merkle_batch_root_vs_oracle():
+    """m=2 polys: digest[i] = two_to_one(noop(col 2i), noop(col 2i+1))."""
+    n = 8
+    vals = rng.integers(0, P, size=(2, n), dtype=np.uint64)
+    polys = [gl.from_u64(vals[0]), gl.from_u64(vals[1])]
+    tree = merkle.MerkleTree(polys)
+    digests = [
+        oracle.two_to_one(
+            [int(vals[0, 2 * i]), int(vals[1, 2 * i]), 0, 0],
+            [int(vals[0, 2 * i + 1]), int(vals[1, 2 * i + 1]), 0, 0],
+        )
+        for i in range(n // 2)
+    ]
     while len(digests) > 1:
         digests = [
             oracle.two_to_one(digests[2 * i], digests[2 * i + 1])
@@ -108,11 +128,18 @@ def test_merkle_root_vs_oracle():
 
 
 def test_merkle_ext_leaves():
+    """Ext leaves flatten to [c0, c1]: leaf digest = noop([a0,a1,b0,b1])."""
     n = 8
     a = rng.integers(0, P, size=(n,), dtype=np.uint64)
     b = rng.integers(0, P, size=(n,), dtype=np.uint64)
-    values = gl2.from_u64(a, b)
-    tree = merkle.MerkleTree(values)
-    # ext leaf (c0, c1) == base matrix [[c0],[c1]]
-    tree2 = merkle.MerkleTree(gl.from_u64(np.stack([a, b])))
-    assert np.array_equal(gl.to_u64(tree.root()), gl.to_u64(tree2.root()))
+    tree = merkle.MerkleTree(gl2.from_u64(a, b))
+    digests = [
+        [int(a[2 * i]), int(b[2 * i]), int(a[2 * i + 1]), int(b[2 * i + 1])]
+        for i in range(n // 2)
+    ]
+    while len(digests) > 1:
+        digests = [
+            oracle.two_to_one(digests[2 * i], digests[2 * i + 1])
+            for i in range(len(digests) // 2)
+        ]
+    assert [int(x) for x in gl.to_u64(tree.root())] == digests[0]
