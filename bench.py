@@ -1,0 +1,70 @@
+"""Benchmark entry (driver-run on real TPU hardware).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Current flagship workload: devirgo sumcheck prove over a degree-3 product of
+three 2^20-entry Goldilocks MLEs (the reference's devirgo_sumcheck bench
+shape, sumcheck/benches/devirgo_sumcheck.rs:24-41, scaled to fit round time).
+vs_baseline compares against the single-threaded-CPU-equivalent op rate
+recorded in BASELINE.json targets (>= 10x per chip is the target; the
+reference publishes no absolute numbers, BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from ceno_tpu.field import gl
+    from ceno_tpu.sumcheck import VirtualPoly, prove
+    from ceno_tpu.transcript import basic as tr
+
+    num_vars = 20
+    degree = 3
+    rng = np.random.default_rng(0)
+    vp = VirtualPoly(num_vars)
+    mles = [
+        gl.from_u64(rng.integers(0, gl.P, size=1 << num_vars, dtype=np.uint64))
+        for _ in range(degree)
+    ]
+    vp.add_mle_list(mles, coeff=7)
+
+    # warmup (compile)
+    proof, _, _ = prove(vp, tr.new(b"bench"))
+    jax.block_until_ready(proof.round_evals[-1].c0.lo)
+
+    runs = 3
+    t0 = time.time()
+    for _ in range(runs):
+        proof, _, _ = prove(vp, tr.new(b"bench"))
+        jax.block_until_ready(proof.round_evals[-1].c0.lo)
+    dt = (time.time() - t0) / runs
+
+    # field-mul count of the round kernels: per round at size L: 3 MLE folds
+    # (1 ext-base mul each ~ 2 base muls) + 4 eval points * 2 muls each over
+    # L/2 pairs ~ 14 * L/2 base muls; sum over rounds ~ 14 * 2^num_vars
+    field_muls = 14 * (1 << num_vars)
+    ops_per_s = field_muls / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "sumcheck_nv20_deg3_field_mul_rate",
+                "value": round(ops_per_s / 1e6, 2),
+                "unit": "Mmul/s",
+                "vs_baseline": round(dt, 4),  # seconds per prove (no published baseline)
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

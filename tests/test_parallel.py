@@ -1,0 +1,46 @@
+"""Multi-device sharding tests on the virtual CPU mesh: the distributed
+sumcheck must produce byte-identical proofs to the single-chip run with the
+same protocol shard count (the reference's multi-thread oracle,
+SURVEY.md section 2.9)."""
+
+import numpy as np
+import jax
+
+import conftest
+from ceno_tpu.field import fops, gl
+from ceno_tpu.parallel import make_mesh, prove_sharded
+from ceno_tpu.sumcheck import VirtualPoly, check, prove, verify
+from ceno_tpu.transcript import basic as tr
+
+
+def _make_poly(seed, num_vars, degree):
+    rng = np.random.default_rng(seed)
+    vp = VirtualPoly(num_vars)
+    mles = [
+        gl.from_u64(rng.integers(0, gl.P, size=1 << num_vars, dtype=np.uint64))
+        for _ in range(degree)
+    ]
+    vp.add_mle_list(mles, coeff=11)
+    return vp
+
+
+def test_mesh_prove_matches_single_chip():
+    devices = conftest.cpu_mesh_devices(4)
+    mesh = make_mesh(devices=devices)
+    num_vars = 6
+    with jax.default_device(devices[0]):
+        vp = _make_poly(3, num_vars, 2)
+        claimed = vp.sum_over_hypercube()
+
+        proof_mesh, _, _ = prove_sharded(vp, tr.new(b"mesh"), mesh)
+        proof_single, _, _ = prove(vp, tr.new(b"mesh"), num_shards=4)
+
+        import jax.numpy as jnp
+
+        acc = jnp.asarray(True)
+        for a, b in zip(proof_mesh.round_evals, proof_single.round_evals):
+            acc = acc & jnp.all(fops.eq(a, b))
+        assert bool(jax.device_get(acc))
+
+        subclaim, _ = verify(claimed, proof_mesh, num_vars, 2, tr.new(b"mesh"))
+        check(subclaim)
