@@ -63,10 +63,56 @@ def hash_leaf_layer(polys: List) -> Gl:
     return poseidon.two_to_one(poseidon.hash_or_noop(even), poseidon.hash_or_noop(odd))
 
 
+def build_layers(polys) -> List[Gl]:
+    """Pure digest-layer construction (traceable): inner[0] = bottom pair
+    digests (4, n/2) ... inner[-1] = root (4, 1)."""
+    layers = [hash_leaf_layer(polys)]
+    while layers[-1].lo.shape[1] > 1:
+        cur = layers[-1]
+        layers.append(poseidon.two_to_one(cur[:, 0::2], cur[:, 1::2]))
+    return layers
+
+
+def leaf_pairs(polys, indices):
+    """Values at (2*(i>>1), 2*(i>>1)+1) per queried index (traceable; indices
+    may be a jnp array): list per poly of (left, right), shape (q,)."""
+    indices = jnp.asarray(indices)
+    left = (indices >> 1) << 1
+    right = left + 1
+    return [
+        (fops.take(p, left, axis=-1), fops.take(p, right, axis=-1)) for p in polys
+    ]
+
+
+def extract_paths(inner: List[Gl], indices) -> Gl:
+    """Sibling digests excluding leaf pair and root: (height-1, 4, q).
+
+    Layer l sibling for leaf index i is inner[l][(i >> (l+1)) ^ 1].
+    """
+    indices = jnp.asarray(indices)
+    height = len(inner)
+    sibs = []
+    for level in range(height - 1):
+        node = (indices >> (level + 1)) ^ 1
+        sibs.append(gl.take(inner[level], node, axis=1))
+    if not sibs:
+        return gl.zeros((0, DIGEST_WIDTH, indices.shape[0]))
+    return gl.stack(sibs, axis=0)
+
+
+def batch_leaves(polys, coeffs: Gl2) -> Gl2:
+    """RLC of the m leaf vectors with ext coefficients (merkle_tree.rs)."""
+    acc = None
+    for i, p in enumerate(polys):
+        term = fops.mul(fops.to_ext(p), coeffs[i])
+        acc = term if acc is None else gl2.add(acc, term)
+    return acc
+
+
 class MerkleTree:
     """Committed tree over m parallel leaf vectors (reference `MerkleTree`)."""
 
-    def __init__(self, polys):
+    def __init__(self, polys, _layers: List[Gl] = None):
         # NOTE: Gl/Gl2 are NamedTuples, so check for them before list/tuple
         if isinstance(polys, (Gl, Gl2)) or not isinstance(polys, (list, tuple)):
             polys = [polys]
@@ -78,12 +124,7 @@ class MerkleTree:
         )
         assert n & (n - 1) == 0 and n >= 2, "leaf count must be a power of two >= 2"
         self.num_leaves = n
-        # inner[0] = bottom pair digests (4, n/2) ... inner[-1] = root (4, 1)
-        layers = [hash_leaf_layer(self.polys)]
-        while layers[-1].lo.shape[1] > 1:
-            cur = layers[-1]
-            layers.append(poseidon.two_to_one(cur[:, 0::2], cur[:, 1::2]))
-        self.inner = layers
+        self.inner = build_layers(self.polys) if _layers is None else _layers
 
     @property
     def height(self) -> int:
@@ -93,40 +134,14 @@ class MerkleTree:
     def root(self) -> Gl:
         return self.inner[-1][:, 0]
 
-    def leaf_pairs(self, indices: np.ndarray):
-        """Values at (2*(i>>1), 2*(i>>1)+1) for each queried index: list per
-        poly of (left, right) value pairs, matching the original field type.
-        Shapes: base poly -> ((k,), (k,)) arrays of shape (len(indices),)."""
-        indices = np.asarray(indices, dtype=np.int64)
-        left = jnp.asarray((indices >> 1) << 1)
-        right = jnp.asarray(((indices >> 1) << 1) + 1)
-        out = []
-        for p in self.polys:
-            out.append((fops.take(p, left, axis=-1), fops.take(p, right, axis=-1)))
-        return out
+    def leaf_pairs(self, indices):
+        return leaf_pairs(self.polys, indices)
 
-    def paths(self, indices: np.ndarray) -> Gl:
-        """Sibling digests excluding leaf pair and root: (height-1, 4, q).
-
-        Layer l sibling for leaf index i is inner[l][(i >> (l+1)) ^ 1].
-        """
-        indices = np.asarray(indices, dtype=np.int64)
-        sibs = []
-        for level in range(self.height - 1):
-            node = (indices >> (level + 1)) ^ 1
-            sibs.append(gl.take(self.inner[level], jnp.asarray(node), axis=1))
-        if not sibs:
-            return gl.zeros((0, DIGEST_WIDTH, len(indices)))
-        return gl.stack(sibs, axis=0)
+    def paths(self, indices) -> Gl:
+        return extract_paths(self.inner, indices)
 
     def batch_leaves(self, coeffs: Gl2) -> Gl2:
-        """RLC of the m leaf vectors with ext coefficients (merkle_tree.rs
-        batch_leaves)."""
-        acc = None
-        for i, p in enumerate(self.polys):
-            term = fops.mul(fops.to_ext(p), coeffs[i])
-            acc = term if acc is None else gl2.add(acc, term)
-        return acc
+        return batch_leaves(self.polys, coeffs)
 
 
 def leaf_pair_digest(left_cols: Gl, right_cols: Gl, num_polys: int) -> Gl:
@@ -140,21 +155,21 @@ def leaf_pair_digest(left_cols: Gl, right_cols: Gl, num_polys: int) -> Gl:
 
 def verify_paths(
     root: Gl,
-    indices: np.ndarray,
+    indices,
     bottom_digests: Gl,
     paths: Gl,
 ) -> jnp.ndarray:
-    """Vectorized path check for q queries at once.
+    """Vectorized path check for q queries at once (traceable indices).
 
     bottom_digests: (4, q) recomputed pair digests; paths: (levels, 4, q).
     Returns an on-device bool scalar (all paths authenticate).
     """
-    indices = np.asarray(indices, dtype=np.int64)
+    indices = jnp.asarray(indices)
     digest = bottom_digests
     levels = paths.lo.shape[0]
     for level in range(levels):
         sib = paths[level]
-        bit = jnp.asarray(((indices >> (level + 1)) & 1) == 1)
+        bit = ((indices >> (level + 1)) & 1) == 1
         left = gl.select(bit[None, :], sib, digest)
         right = gl.select(bit[None, :], digest, sib)
         digest = poseidon.two_to_one(left, right)

@@ -100,9 +100,14 @@ class Basefold:
     # -- commit ------------------------------------------------------------
 
     def commit(self, polys: List) -> BasefoldCommitmentWithWitness:
-        """Batch-commit polys of equal num_vars (reference batch_commit)."""
-        if not isinstance(polys, (list, tuple)):
+        """Batch-commit polys of equal num_vars (reference batch_commit).
+
+        One jitted program per (m, num_vars, field) signature."""
+        from ..utils import cached_jit
+
+        if isinstance(polys, (Gl, Gl2)) or not isinstance(polys, (list, tuple)):
             polys = [polys]
+        polys = list(polys)
         n = _len(polys[0])
         num_vars = n.bit_length() - 1
         assert num_vars <= self.max_num_vars, "poly too big"
@@ -111,21 +116,38 @@ class Basefold:
         is_base = isinstance(polys[0], Gl)
 
         if num_vars <= self.spec.basecode_msg_size_log:
-            tree = merkle.MerkleTree(list(polys))
+            def trivial_builder():
+                return lambda ps: merkle.build_layers(ps)
+
+            layers = cached_jit(
+                ("bf_commit_trivial", len(polys), num_vars, is_base), trivial_builder
+            )(polys)
+            tree = merkle.MerkleTree(polys, _layers=layers)
             return BasefoldCommitmentWithWitness(
-                tree, list(polys), num_vars, is_base, True
+                tree, polys, num_vars, is_base, True
             )
 
-        codewords = [self._encode_poly(p) for p in polys]
-        tree = merkle.MerkleTree(codewords)
-        bh = [ntt.bitrev(p) for p in polys]
+        def builder():
+            def run(ps):
+                codewords = [self._encode_poly(p, use_jit=False) for p in ps]
+                layers = merkle.build_layers(codewords)
+                bh = [ntt.bitrev(p) for p in ps]
+                return codewords, layers, bh
+
+            return run
+
+        codewords, layers, bh = cached_jit(
+            ("bf_commit", len(polys), num_vars, is_base, self.spec, self.max_num_vars),
+            builder,
+        )(polys)
+        tree = merkle.MerkleTree(codewords, _layers=layers)
         return BasefoldCommitmentWithWitness(tree, bh, num_vars, is_base, False)
 
-    def _encode_poly(self, evals):
+    def _encode_poly(self, evals, use_jit: bool = True):
         """interpolate -> bitrev -> encode -> bitrev (basefold.rs:110-156)."""
-        coeffs = ntt.interpolate_jit(evals)
+        coeffs = ntt.interpolate_over_hypercube(evals) if not use_jit else ntt.interpolate_jit(evals)
         coeffs = ntt.bitrev(coeffs)
-        cw = self.code.encode(coeffs)
+        cw = self.code.encode(coeffs, use_jit=use_jit)
         return ntt.bitrev(cw)
 
     @staticmethod
@@ -150,70 +172,89 @@ class Basefold:
         if cww.trivial:
             return BasefoldProof([], [], None, None, list(cww.bh_evals))
 
+        from ..utils import cached_jit
+
         num_rounds = num_vars - self.spec.basecode_msg_size_log
+        # fold tables are built eagerly ONCE (device constants); pass them in
+        # so the jitted cores never build cached state inside a trace
+        fold_tables = [
+            self.code.fold_table(num_vars + self.spec.rate_log - i - 1)
+            for i in range(num_rounds)
+        ]
 
-        batch_coeffs = _batch_coeffs(t, m)
-        oracle = cww.tree.batch_leaves(batch_coeffs)  # RLC codeword (bitrev)
-        running = _rlc(cww.bh_evals, batch_coeffs)  # RLC bh evals (bitrev)
+        sig = (m, num_vars, cww.is_base, self.spec, self.max_num_vars)
 
-        eq = mle_mod.eq_table(point)
-        eq = ntt.bitrev(eq)
+        # batch coeffs + RLC'd oracle/evals + first sumcheck message
+        def prep_builder():
+            def run(bh_evals, tree_polys, pt, ts):
+                t2 = tr.Transcript.__new__(tr.Transcript)
+                t2.ts = ts
+                t2.field_appended_num = 0
+                batch_coeffs = _batch_coeffs(t2, m)
+                oracle = merkle.batch_leaves(tree_polys, batch_coeffs)
+                running = _rlc(bh_evals, batch_coeffs)
+                eq = ntt.bitrev(mle_mod.eq_table(pt))
+                eq = _interp_pairs(eq)
+                running = _interp_pairs(running)
+                msg = _pi_coeffs(running, eq)
+                return oracle, eq, running, msg, t2.ts
 
-        eq = _interp_pairs(eq)
-        running = _interp_pairs(running)
-        msg = _pi_coeffs(running, eq)
+            return run
 
-        msgs: List[Gl2] = []
-        roots: List[Gl] = []
-        trees: List[merkle.MerkleTree] = []
+        oracle, eq, running, msg, ts = cached_jit(("bf_prep",) + sig, prep_builder)(
+            cww.bh_evals, cww.tree.polys, point, t.ts
+        )
+        t.ts = ts
+
+        msgs, roots, oracles_layers = [], [], []
         final_message = None
-
         for i in range(num_rounds):
             t.append_field_element_exts(msg)
             msgs.append(msg)
             r = t.get_and_append_challenge(b"commit round")
-
-            level = (oracle.c0.lo.shape[0].bit_length() - 1) - 1
-            x0, w = self.code.fold_table(level)
+            x0, w = fold_tables[i]
             oracle = _fold_codeword(oracle, r, x0, w)
-
             if i < num_rounds - 1:
                 eq, running, msg = _challenge_round(eq, running, r)
-                tree = merkle.MerkleTree([oracle])
-                trees.append(tree)
-                root = tree.root()
+                layers = _build_layers_jit([oracle])
+                oracles_layers.append((oracle, layers))
+                root = layers[-1][:, 0]
                 _write_digest(root, t)
                 roots.append(root)
             else:
-                running = _fold_pairs(running, r)
-                final_message = ntt.bitrev(running)
+                final_message = _final_fold_jit(running, r)
                 t.append_field_element_exts(final_message)
 
-        # query phase
+        # query phase (one host sync for the indices)
         q = self.spec.num_queries
         codeword_size = 1 << (num_vars + self.spec.rate_log)
         indices = _sample_query_indices(t, q, codeword_size)
+        idx_arr = jnp.asarray(indices, dtype=jnp.int32)
 
-        pairs = cww.tree.leaf_pairs(indices)
-        comm_left = fops.stack([p[0] for p in pairs], axis=0)
-        comm_right = fops.stack([p[1] for p in pairs], axis=0)
-        comm_paths = cww.tree.paths(indices)
-        oracle_vals = []
-        oracle_paths = []
-        idx = indices >> 1
-        for tree in trees:
-            pr = tree.leaf_pairs(idx)
-            oracle_vals.append((pr[0][0], pr[0][1]))
-            oracle_paths.append(tree.paths(idx))
-            idx = idx >> 1
+        def query_builder():
+            def run(tree_polys, tree_inner, oracles, idx):
+                pairs = merkle.leaf_pairs(tree_polys, idx)
+                comm_left = fops.stack([p[0] for p in pairs], axis=0)
+                comm_right = fops.stack([p[1] for p in pairs], axis=0)
+                comm_paths = merkle.extract_paths(tree_inner, idx)
+                oracle_vals, oracle_paths = [], []
+                cur = idx >> 1
+                for oracle, layers in oracles:
+                    pr = merkle.leaf_pairs([oracle], cur)
+                    oracle_vals.append((pr[0][0], pr[0][1]))
+                    oracle_paths.append(merkle.extract_paths(layers, cur))
+                    cur = cur >> 1
+                return QueryOpens(
+                    comm_left, comm_right, comm_paths, oracle_vals, oracle_paths
+                )
 
-        return BasefoldProof(
-            msgs,
-            roots,
-            final_message,
-            QueryOpens(comm_left, comm_right, comm_paths, oracle_vals, oracle_paths),
-            None,
+            return run
+
+        opens = cached_jit(("bf_open2",) + sig + (q,), query_builder)(
+            cww.tree.polys, cww.tree.inner, oracles_layers, idx_arr
         )
+
+        return BasefoldProof(list(msgs), list(roots), final_message, opens, None)
 
     # -- verify ----------------------------------------------------------------
 
@@ -230,96 +271,144 @@ class Basefold:
         m = comm.num_polys
         assert len(point) == num_vars and len(evals) == m
 
+        from ..utils import cached_jit
+
         if proof.trivial_evals is not None:
-            tree = merkle.MerkleTree(list(proof.trivial_evals))
-            ok = jnp.all(gl.eq(tree.root(), comm.root))
-            # also check the claimed evaluations against the shipped polys
-            for p, e in zip(proof.trivial_evals, evals):
-                got = mle_mod.evaluate(fops.to_ext(p), point)
-                ok = ok & jnp.all(gl2.eq(got, e))
-            return ok
+            def trivial_builder():
+                def run(trivial_evals, root, pt, evs):
+                    layers = merkle.build_layers(list(trivial_evals))
+                    ok = jnp.all(gl.eq(layers[-1][:, 0], root))
+                    for p, e in zip(trivial_evals, evs):
+                        got = mle_mod.evaluate(fops.to_ext(p), pt)
+                        ok = ok & jnp.all(gl2.eq(got, e))
+                    return ok
+
+                return run
+
+            return cached_jit(
+                ("bf_verify_trivial", m, num_vars, comm.is_base), trivial_builder
+            )(list(proof.trivial_evals), comm.root, point, evals)
 
         num_rounds = num_vars - self.spec.basecode_msg_size_log
-        batch_coeffs = _batch_coeffs(t, m)
+        sig = (m, num_vars, comm.is_base, self.spec, self.max_num_vars)
+        fold_tables = [
+            self.code.fold_table(num_vars + self.spec.rate_log - i - 1)
+            for i in range(num_rounds)
+        ]
 
-        fold_challenges: List[Gl2] = []
-        for i in range(num_rounds):
-            t.append_field_element_exts(proof.sumcheck_messages[i])
-            fold_challenges.append(t.get_and_append_challenge(b"commit round"))
-            if i < num_rounds - 1:
-                _write_digest(proof.roots[i], t)
-        t.append_field_element_exts(proof.final_message)
+        def replay_builder():
+            def run(msgs, roots, final_message, ts):
+                t2 = tr.Transcript.__new__(tr.Transcript)
+                t2.ts = ts
+                t2.field_appended_num = 0
+                batch_coeffs = _batch_coeffs(t2, m)
+                fold_challenges = []
+                for i in range(num_rounds):
+                    t2.append_field_element_exts(msgs[i])
+                    fold_challenges.append(
+                        t2.get_and_append_challenge(b"commit round")
+                    )
+                    if i < num_rounds - 1:
+                        _write_digest(roots[i], t2)
+                t2.append_field_element_exts(final_message)
+                return batch_coeffs, fold_challenges, t2.ts
+
+            return run
+
+        batch_coeffs, fold_challenges, ts = cached_jit(
+            ("bf_verify1",) + sig, replay_builder
+        )(list(proof.sumcheck_messages), list(proof.roots), proof.final_message, t.ts)
+        t.ts = ts
 
         q = self.spec.num_queries
         codeword_size = 1 << (num_vars + self.spec.rate_log)
         indices = _sample_query_indices(t, q, codeword_size)
+        idx_arr = jnp.asarray(indices, dtype=jnp.int32)
 
-        # re-encode the final message (verifier convention: bitrev ->
-        # interpolate -> encode -> bitrev; query_phase.rs:1349-1371)
-        fm = ntt.bitrev(proof.final_message)
-        fm = ntt.interpolate_jit(fm)
-        final_codeword = ntt.bitrev(self.code.encode(fm))
+        def check_builder():
+            def run(root, opens, msgs, roots, final_message, pt, evs,
+                    bcoeffs, fchal, tables, idx):
+                # re-encode the final message (verifier convention: bitrev ->
+                # interpolate -> encode -> bitrev; query_phase.rs:1349-1371)
+                fm = ntt.bitrev(final_message)
+                fm = ntt.interpolate_over_hypercube(fm)
+                final_codeword = ntt.bitrev(self.code.encode(fm, use_jit=False))
 
-        ok = jnp.asarray(True)
-
-        # ---- query chains (batched over the q axis) ----------------------
-        opens = proof.query_opens
-        # Merkle path checks
-        comm_bottom = merkle.leaf_pair_digest(
-            _to_base_rows(opens.comm_left), _to_base_rows(opens.comm_right), m
-        )
-        ok = ok & merkle.verify_paths(comm.root, indices, comm_bottom, opens.comm_paths)
-        idx = indices >> 1
-        for i, ((lv, rv), paths, root) in enumerate(
-            zip(opens.oracle_vals, opens.oracle_paths, proof.roots)
-        ):
-            bottom = merkle.leaf_pair_digest(
-                _to_base_rows(lv), _to_base_rows(rv), 1
-            )
-            ok = ok & merkle.verify_paths(root, idx, bottom, paths)
-            idx = idx >> 1
-
-        # fold replay
-        curr_left = _rlc_rows(opens.comm_left, batch_coeffs)
-        curr_right = _rlc_rows(opens.comm_right, batch_coeffs)
-        index = indices.copy()
-        fc_np = None
-        for i in range(num_rounds):
-            level = num_vars + self.spec.rate_log - i - 1
-            x0, w = self.code.fold_gather(level, index >> 1)
-            r = fold_challenges[i]
-            res = _interp2(curr_left, curr_right, x0, w, r)
-            next_index = index >> 1
-            if i < num_rounds - 1:
-                lv, rv = opens.oracle_vals[i]
-                nxt = fops.select(
-                    jnp.asarray((next_index & 1) == 0),
-                    fops.to_ext(lv),
-                    fops.to_ext(rv),
+                ok = jnp.asarray(True)
+                comm_bottom = merkle.leaf_pair_digest(
+                    _to_base_rows(opens.comm_left),
+                    _to_base_rows(opens.comm_right),
+                    m,
                 )
-                curr_left, curr_right = fops.to_ext(lv), fops.to_ext(rv)
-            else:
-                nxt = fops.take(final_codeword, jnp.asarray(next_index), axis=-1)
-            ok = ok & jnp.all(gl2.eq(res, nxt))
-            index = next_index
+                ok = ok & merkle.verify_paths(root, idx, comm_bottom, opens.comm_paths)
+                cur = idx >> 1
+                for (lv, rv), paths, rt in zip(
+                    opens.oracle_vals, opens.oracle_paths, roots
+                ):
+                    bottom = merkle.leaf_pair_digest(
+                        _to_base_rows(lv), _to_base_rows(rv), 1
+                    )
+                    ok = ok & merkle.verify_paths(rt, cur, bottom, paths)
+                    cur = cur >> 1
 
-        # ---- sumcheck chain ----------------------------------------------
-        target = _inner(batch_coeffs, gl2.stack(evals))
-        ok = ok & jnp.all(gl2.eq(target, _deg2_zero_plus_one(proof.sumcheck_messages[0])))
-        for i in range(num_rounds - 1):
-            lhs = _deg2_eval(proof.sumcheck_messages[i], fold_challenges[i])
-            rhs = _deg2_zero_plus_one(proof.sumcheck_messages[i + 1])
-            ok = ok & jnp.all(gl2.eq(lhs, rhs))
-        # last: p(r) == <final_message, partial_eq>
-        lhs = _deg2_eval(proof.sumcheck_messages[-1], fold_challenges[-1])
-        coeff = mle_mod.eq_eval(
-            point[num_vars - num_rounds :], list(reversed(fold_challenges))
+                # fold replay
+                curr_left = _rlc_rows(opens.comm_left, bcoeffs)
+                curr_right = _rlc_rows(opens.comm_right, bcoeffs)
+                index = idx
+                for i in range(num_rounds):
+                    x0_t, w_t = tables[i]
+                    x0 = gl.take(x0_t, index >> 1)
+                    w = gl.take(w_t, index >> 1)
+                    r = fchal[i]
+                    res = _interp2(curr_left, curr_right, x0, w, r)
+                    next_index = index >> 1
+                    if i < num_rounds - 1:
+                        lv, rv = opens.oracle_vals[i]
+                        nxt = fops.select(
+                            (next_index & 1) == 0,
+                            fops.to_ext(lv),
+                            fops.to_ext(rv),
+                        )
+                        curr_left, curr_right = fops.to_ext(lv), fops.to_ext(rv)
+                    else:
+                        nxt = fops.take(final_codeword, next_index, axis=-1)
+                    ok = ok & jnp.all(gl2.eq(res, nxt))
+                    index = next_index
+
+                # sumcheck chain
+                target = _inner(bcoeffs, gl2.stack(evs))
+                ok = ok & jnp.all(gl2.eq(target, _deg2_zero_plus_one(msgs[0])))
+                for i in range(num_rounds - 1):
+                    lhs = _deg2_eval(msgs[i], fchal[i])
+                    rhs = _deg2_zero_plus_one(msgs[i + 1])
+                    ok = ok & jnp.all(gl2.eq(lhs, rhs))
+                lhs = _deg2_eval(msgs[-1], fchal[-1])
+                coeff = mle_mod.eq_eval(
+                    pt[num_vars - num_rounds :], list(reversed(fchal))
+                )
+                partial_eq = mle_mod.eq_table(pt[: num_vars - num_rounds])
+                partial_eq = gl2.mul(
+                    partial_eq, gl2.broadcast_to(coeff, partial_eq.shape)
+                )
+                rhs = fops.sum_reduce(gl2.mul(final_message, partial_eq))
+                ok = ok & jnp.all(gl2.eq(lhs, rhs))
+                return ok
+
+            return run
+
+        return cached_jit(("bf_verify2",) + sig + (q,), check_builder)(
+            comm.root,
+            proof.query_opens,
+            list(proof.sumcheck_messages),
+            list(proof.roots),
+            proof.final_message,
+            point,
+            evals,
+            batch_coeffs,
+            fold_challenges,
+            fold_tables,
+            idx_arr,
         )
-        partial_eq = mle_mod.eq_table(point[: num_vars - num_rounds])
-        partial_eq = gl2.mul(partial_eq, gl2.broadcast_to(coeff, partial_eq.shape))
-        rhs = fops.sum_reduce(gl2.mul(proof.final_message, partial_eq))
-        ok = ok & jnp.all(gl2.eq(lhs, rhs))
-        return ok
 
 
 def check(ok) -> None:
@@ -404,6 +493,25 @@ def _pi_coeffs(evals, eq) -> Gl2:
     c1 = fops.sum_reduce(fops.add(fops.mul(e1, q0), fops.mul(e0, q1)))
     c2 = fops.sum_reduce(fops.mul(e1, q1))
     return gl2.stack([fops.to_ext(c0), fops.to_ext(c1), fops.to_ext(c2)])
+
+
+def _build_layers_jit(polys):
+    from ..utils import cached_jit
+
+    key = tuple(
+        (isinstance(p, Gl2), p.lo.shape if isinstance(p, Gl) else p.c0.lo.shape)
+        for p in polys
+    )
+    return cached_jit(("merkle_layers", key), lambda: lambda ps: merkle.build_layers(ps))(
+        list(polys)
+    )
+
+
+def _final_fold_jit(running: Gl2, r: Gl2) -> Gl2:
+    from ..utils import cached_jit
+
+    key = ("bf_final_fold", running.c0.lo.shape)
+    return cached_jit(key, lambda: lambda v, c: ntt.bitrev(_fold_pairs(v, c)))(running, r)
 
 
 _CHALLENGE_ROUND_KERNELS = {}

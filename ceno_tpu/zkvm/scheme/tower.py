@@ -9,9 +9,13 @@ Protocol matches the reference exactly:
   b"product_sum", per-round merge challenge b"merge", rt' = point || r_merge;
 * verifier /root/reference/ceno_zkvm/src/scheme/verifier.rs:816-1037.
 
-The per-round sumchecks reuse ceno_tpu.sumcheck (max_degree 3 via the +1 eq
-factor); all layer polys live on device and the verifier accumulates its
-checks into an on-device ok flag.
+Compilation model (the TPU tunnel dispatches one eager op in ~20ms but a
+cached jitted kernel in ~1ms, and tracing costs ~1.6ms/equation on this
+host): the orchestration stays in Python, and every piece of field math runs
+in small structure-keyed jitted kernels that are REUSED across rounds,
+towers, and circuits — per-round sumcheck kernels (shared via
+ceno_tpu.sumcheck's cache), eq-table builders, challenge-power samplers, and
+one round-algebra kernel per live-spec configuration.
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ from ...sumcheck import VirtualPoly
 from ...sumcheck import prove as sumcheck_prove
 from ...sumcheck import verify as sumcheck_verify
 from ...transcript import basic as tr
+from ...utils import cached_jit
 from .utils import ceil_log2, get_challenge_pows
 
 NUM_FANIN = 2
@@ -49,6 +54,11 @@ class TowerVerifyOut(NamedTuple):
     logup_p_point_and_eval: List[Tuple[List[Gl2], Gl2]]
     logup_q_point_and_eval: List[Tuple[List[Gl2], Gl2]]
     ok: jnp.ndarray
+
+
+def eq_table_jit(point: List[Gl2]) -> Gl2:
+    n = len(point)
+    return cached_jit(("eq_table", n), lambda: lambda p: mle_mod.eq_table(p))(point)
 
 
 def prove_tower(
@@ -75,27 +85,24 @@ def prove_tower(
 
     for rnd in range(1, max_round_index + 1):
         num_vars = rnd  # log2_fanin * rnd
-        eq = mle_mod.eq_table(out_rt)
+        eq = eq_table_jit(out_rt)
         vp = VirtualPoly(num_vars)
         for s, alpha in zip(prod_specs, alpha_pows[:np_spec]):
             if rnd < len(s):
                 f1, f2 = s[rnd]
                 vp.add_mle_list([eq, f1, f2], alpha)
-        for s, (a_num, a_den) in zip(
-            logup_specs,
-            [
-                (alpha_pows[np_spec + 2 * i], alpha_pows[np_spec + 2 * i + 1])
-                for i in range(nl_spec)
-            ],
-        ):
+        for i, s in enumerate(logup_specs):
             if rnd < len(s):
+                a_num = alpha_pows[np_spec + 2 * i]
+                a_den = alpha_pows[np_spec + 2 * i + 1]
                 p1, p2, q1, q2 = s[rnd]
                 vp.add_mle_list([eq, p1, q2], a_num)
                 vp.add_mle_list([eq, p2, q1], a_num)
                 vp.add_mle_list([eq, q1, q2], a_den)
 
         T = num_shards if (1 << num_vars) >= 2 * num_shards else 1
-        proof, final_evals, _ = _prove_round(vp, t, T)
+        proof, final_evals, ts = sumcheck_prove(vp, t.ts, num_shards=T)
+        t.ts = ts
         proofs.append(proof.round_evals)
 
         r_merge = [t.get_and_append_challenge(b"merge")]
@@ -125,11 +132,95 @@ def prove_tower(
     )
 
 
-def _prove_round(vp: VirtualPoly, t: tr.Transcript, num_shards: int):
-    """Run one batched sumcheck through the mutable transcript wrapper."""
-    proof, final_evals, ts = sumcheck_prove(vp, t.ts, num_shards=num_shards)
-    t.ts = ts
-    return proof, final_evals, ts
+# ---------------------------------------------------------------------------
+# Verifier
+# ---------------------------------------------------------------------------
+
+
+def _initial_claim_kernel(np_spec: int, nl_spec: int):
+    """(prod_out, logup_out, alphas, rt0) -> (claim, per-spec evals at rt0)."""
+
+    def run(prod_out, logup_out, alphas, rt0):
+        def eval_pair(a, b):
+            return gl2.add(a, gl2.mul(rt0, gl2.sub(b, a)))
+
+        prod_evals = [eval_pair(e[0], e[1]) for e in prod_out]
+        p_evals = [eval_pair(e[0], e[1]) for e in logup_out]
+        q_evals = [eval_pair(e[2], e[3]) for e in logup_out]
+        claim = gl2.zeros(())
+        for e, a in zip(prod_evals, alphas[:np_spec]):
+            claim = gl2.add(claim, gl2.mul(e, a))
+        for i in range(nl_spec):
+            claim = gl2.add(claim, gl2.mul(p_evals[i], alphas[np_spec + 2 * i]))
+            claim = gl2.add(claim, gl2.mul(q_evals[i], alphas[np_spec + 2 * i + 1]))
+        return claim, prod_evals, p_evals, q_evals
+
+    return run
+
+
+def _round_algebra_kernel(prod_live: tuple, logup_live: tuple, prod_next: tuple,
+                          logup_next: tuple, np_spec: int, nl_spec: int):
+    """Post-sumcheck round algebra (verifier.rs:916-1030), one kernel per
+    live-spec configuration:
+    inputs: out_rt, rt, live prod/logup round evals, alphas, expected from
+    subclaim, r_merge, next alphas -> (ok_bit, merged evals, next_claim)."""
+
+    def run(out_rt, rt, prod_evals_rnd, logup_evals_rnd, alphas,
+            subclaim_expected, r_merge, next_alphas):
+        eq_val = mle_mod.eq_eval(out_rt, rt)
+        expected = gl2.zeros(())
+        li = 0
+        for spec in range(np_spec):
+            if prod_live[spec]:
+                e = prod_evals_rnd[li]
+                li += 1
+                prod = gl2.mul(e[0], e[1])
+                expected = gl2.add(expected, gl2.mul(gl2.mul(eq_val, alphas[spec]), prod))
+        li = 0
+        for spec in range(nl_spec):
+            if logup_live[spec]:
+                p1, p2, q1, q2 = logup_evals_rnd[li]
+                li += 1
+                a_num = alphas[np_spec + 2 * spec]
+                a_den = alphas[np_spec + 2 * spec + 1]
+                v = gl2.add(
+                    gl2.mul(a_num, gl2.add(gl2.mul(p1, q2), gl2.mul(p2, q1))),
+                    gl2.mul(a_den, gl2.mul(q1, q2)),
+                )
+                expected = gl2.add(expected, gl2.mul(eq_val, v))
+        ok = jnp.all(gl2.eq(expected, subclaim_expected))
+
+        # merge coeffs = eq table over r_merge (2 entries for fanin 2)
+        coeffs = mle_mod.eq_table(r_merge)
+        merged_prod, merged_logup = [], []
+        next_claim = gl2.zeros(())
+        li = 0
+        for spec in range(np_spec):
+            if prod_live[spec]:
+                e = prod_evals_rnd[li]
+                li += 1
+                m = gl2.add(gl2.mul(e[0], coeffs[0]), gl2.mul(e[1], coeffs[1]))
+                merged_prod.append(m)
+                if prod_next[spec]:
+                    next_claim = gl2.add(next_claim, gl2.mul(next_alphas[spec], m))
+        li = 0
+        for spec in range(nl_spec):
+            if logup_live[spec]:
+                e = logup_evals_rnd[li]
+                li += 1
+                p_m = gl2.add(gl2.mul(e[0], coeffs[0]), gl2.mul(e[1], coeffs[1]))
+                q_m = gl2.add(gl2.mul(e[2], coeffs[0]), gl2.mul(e[3], coeffs[1]))
+                merged_logup.append((p_m, q_m))
+                if logup_next[spec]:
+                    a_num = next_alphas[np_spec + 2 * spec]
+                    a_den = next_alphas[np_spec + 2 * spec + 1]
+                    next_claim = gl2.add(
+                        next_claim,
+                        gl2.add(gl2.mul(a_num, p_m), gl2.mul(a_den, q_m)),
+                    )
+        return ok, merged_prod, merged_logup, next_claim
+
+    return run
 
 
 def verify_tower(
@@ -146,26 +237,14 @@ def verify_tower(
     alpha_pows = get_challenge_pows(np_spec + nl_spec * 2, t)
     initial_rt = [t.get_and_append_challenge(b"product_sum")]
 
-    def eval_pair(pair: List[Gl2], point: List[Gl2]) -> Gl2:
-        # 1-var MLE [v0, v1] at point[0]
-        return gl2.add(pair[0], gl2.mul(point[0], gl2.sub(pair[1], pair[0])))
+    claim, prod_evals0, p_evals0, q_evals0 = cached_jit(
+        ("tower_init", np_spec, nl_spec),
+        lambda: _initial_claim_kernel(np_spec, nl_spec),
+    )(prod_out_evals, logup_out_evals, alpha_pows, initial_rt[0])
 
-    prod_pne = [
-        (initial_rt, eval_pair(e, initial_rt)) for e in prod_out_evals
-    ]
-    logup_p_pne = [
-        (initial_rt, eval_pair(e[0:2], initial_rt)) for e in logup_out_evals
-    ]
-    logup_q_pne = [
-        (initial_rt, eval_pair(e[2:4], initial_rt)) for e in logup_out_evals
-    ]
-
-    claim = gl2.zeros(())
-    for (_, e), a in zip(prod_pne, alpha_pows[:np_spec]):
-        claim = gl2.add(claim, gl2.mul(e, a))
-    for i in range(nl_spec):
-        claim = gl2.add(claim, gl2.mul(logup_p_pne[i][1], alpha_pows[np_spec + 2 * i]))
-        claim = gl2.add(claim, gl2.mul(logup_q_pne[i][1], alpha_pows[np_spec + 2 * i + 1]))
+    prod_pne = [(initial_rt, e) for e in prod_evals0]
+    logup_p_pne = [(initial_rt, e) for e in p_evals0]
+    logup_q_pne = [(initial_rt, e) for e in q_evals0]
 
     ok = jnp.asarray(True)
     max_num_vars = max(num_variables)
@@ -186,54 +265,50 @@ def verify_tower(
         ok = ok & subclaim.ok
         rt = subclaim.point
 
-        eq_val = mle_mod.eq_eval(out_rt, rt)
-        expected = gl2.zeros(())
-        for spec in range(np_spec):
-            if rnd < num_variables[spec] - 1:
-                e = tower_proofs.prod_specs_eval[spec][rnd]
-                prod = gl2.mul(e[0], e[1])
-                expected = gl2.add(expected, gl2.mul(gl2.mul(eq_val, alpha_pows[spec]), prod))
-        for spec in range(nl_spec):
-            if rnd < num_variables[np_spec + spec] - 1:
-                e = tower_proofs.logup_specs_eval[spec][rnd]
-                p1, p2, q1, q2 = e
-                a_num = alpha_pows[np_spec + 2 * spec]
-                a_den = alpha_pows[np_spec + 2 * spec + 1]
-                v = gl2.add(
-                    gl2.mul(a_num, gl2.add(gl2.mul(p1, q2), gl2.mul(p2, q1))),
-                    gl2.mul(a_den, gl2.mul(q1, q2)),
-                )
-                expected = gl2.add(expected, gl2.mul(eq_val, v))
-        ok = ok & jnp.all(gl2.eq(expected, subclaim.expected_evaluation))
-
         r_merge = [t.get_and_append_challenge(b"merge")]
-        coeffs = mle_mod.eq_table(r_merge)  # (2,)
         rt_prime = list(rt) + r_merge
+        next_alphas = get_challenge_pows(np_spec + nl_spec * 2, t)
 
-        alpha_pows = get_challenge_pows(np_spec + nl_spec * 2, t)
-        next_round = rnd + 1
-        next_eval = gl2.zeros(())
+        prod_live = tuple(rnd < num_variables[s] - 1 for s in range(np_spec))
+        logup_live = tuple(
+            rnd < num_variables[np_spec + s] - 1 for s in range(nl_spec)
+        )
+        prod_next = tuple(rnd + 1 < num_variables[s] - 1 for s in range(np_spec))
+        logup_next = tuple(
+            rnd + 1 < num_variables[np_spec + s] - 1 for s in range(nl_spec)
+        )
+
+        prod_rnd, logup_rnd = [], []
         for spec in range(np_spec):
-            if rnd < num_variables[spec] - 1:
-                e = tower_proofs.prod_specs_eval[spec][rnd]
-                merged = gl2.add(gl2.mul(e[0], coeffs[0]), gl2.mul(e[1], coeffs[1]))
-                prod_pne[spec] = (rt_prime, merged)
-                if next_round < num_variables[spec] - 1:
-                    next_eval = gl2.add(next_eval, gl2.mul(alpha_pows[spec], merged))
+            if prod_live[spec]:
+                prod_rnd.append(tower_proofs.prod_specs_eval[spec][rnd])
         for spec in range(nl_spec):
-            if rnd < num_variables[np_spec + spec] - 1:
-                e = tower_proofs.logup_specs_eval[spec][rnd]
-                p_m = gl2.add(gl2.mul(e[0], coeffs[0]), gl2.mul(e[1], coeffs[1]))
-                q_m = gl2.add(gl2.mul(e[2], coeffs[0]), gl2.mul(e[3], coeffs[1]))
-                logup_p_pne[spec] = (rt_prime, p_m)
-                logup_q_pne[spec] = (rt_prime, q_m)
-                if next_round < num_variables[np_spec + spec] - 1:
-                    a_num = alpha_pows[np_spec + 2 * spec]
-                    a_den = alpha_pows[np_spec + 2 * spec + 1]
-                    next_eval = gl2.add(
-                        next_eval,
-                        gl2.add(gl2.mul(a_num, p_m), gl2.mul(a_den, q_m)),
-                    )
-        point_and_eval = (rt_prime, next_eval)
+            if logup_live[spec]:
+                logup_rnd.append(tower_proofs.logup_specs_eval[spec][rnd])
+
+        key = ("tower_round", rnd, prod_live, logup_live, prod_next, logup_next)
+        ok_rnd, merged_prod, merged_logup, next_claim = cached_jit(
+            key,
+            lambda: _round_algebra_kernel(
+                prod_live, logup_live, prod_next, logup_next, np_spec, nl_spec
+            ),
+        )(out_rt, rt, prod_rnd, logup_rnd, alpha_pows,
+          subclaim.expected_evaluation, r_merge, next_alphas)
+        ok = ok & ok_rnd
+
+        li = 0
+        for spec in range(np_spec):
+            if prod_live[spec]:
+                prod_pne[spec] = (rt_prime, merged_prod[li])
+                li += 1
+        li = 0
+        for spec in range(nl_spec):
+            if logup_live[spec]:
+                logup_p_pne[spec] = (rt_prime, merged_logup[li][0])
+                logup_q_pne[spec] = (rt_prime, merged_logup[li][1])
+                li += 1
+
+        alpha_pows = next_alphas
+        point_and_eval = (rt_prime, next_claim)
 
     return TowerVerifyOut(point_and_eval[0], prod_pne, logup_p_pne, logup_q_pne, ok)

@@ -35,11 +35,23 @@ def next_pow2_instance_padding(n: int) -> int:
 
 
 def get_challenge_pows(n: int, t: tr.Transcript) -> List[Gl2]:
-    alpha = t.get_and_append_challenge(b"combine subset evals")
-    out = [gl2.ones(())]
-    for _ in range(n - 1):
-        out.append(gl2.mul(out[-1], alpha))
-    return out
+    """[1, a, ..., a^(n-1)] with a = challenge(b"combine subset evals");
+    one jitted kernel per n (utils.rs:62-77)."""
+    from ...utils import cached_jit
+
+    def builder():
+        def run(ts):
+            ts2, alpha = tr.get_and_append_challenge(ts, b"combine subset evals")
+            out = [gl2.ones(())]
+            for _ in range(n - 1):
+                out.append(gl2.mul(out[-1], alpha))
+            return out, ts2
+
+        return run
+
+    pows, ts2 = cached_jit(("challenge_pows", n), builder)(t.ts)
+    t.ts = ts2
+    return list(pows)
 
 
 def interleave_records(

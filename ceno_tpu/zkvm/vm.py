@@ -1,0 +1,246 @@
+"""ZKVM-level prover/verifier orchestration.
+
+Mirrors /root/reference/ceno_zkvm/src/scheme/prover.rs:60-237 and
+verifier.rs:40-250: absorb raw public input, write fixed commitments,
+batch-commit witness traces per circuit (sorted by name), derive the two
+chip challenges, fork the transcript per circuit, prove/verify each circuit
+independently, then check the two global invariants:
+* sum of logup fractions over all circuits (with the dummy-padding
+  multiplicity correction) equals zero;
+* prod_r * finalize_global_state == prod_w * initial_global_state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import fops, gl, gl2
+from ..field.gl import Gl
+from ..field.gl2 import Gl2
+from ..pcs import Basefold
+from ..transcript import basic as tr
+from .circuit_builder import ConstraintSystem
+from .expression import eval_scalar
+from .scheme.prover import OpcodeProof, create_opcode_proof
+from .scheme.table_prover import TableProof, create_table_proof
+from .scheme.table_verifier import verify_table_proof
+from .scheme.utils import next_pow2_instance_padding
+from .scheme.verifier import verify_opcode_proof
+from .structs import ZKVMProof, ZKVMProvingKey
+
+
+class PublicValues(NamedTuple):
+    """scheme.rs:72-113; each field becomes a (constant) public polynomial."""
+
+    exit_code: int = 0
+    init_pc: int = 0
+    init_cycle: int = 0
+    end_pc: int = 0
+    end_cycle: int = 0
+    public_io: tuple = ()
+
+    def to_vec(self) -> List[List[int]]:
+        return [
+            [self.exit_code & 0xFFFF],
+            [(self.exit_code >> 16) & 0xFFFF],
+            [self.init_pc],
+            [self.init_cycle],
+            [self.end_pc],
+            [self.end_cycle],
+            list(self.public_io) or [0],
+        ]
+
+
+# indices into raw_pi (matching PublicValues::to_vec order)
+PV_EXIT_CODE_LO = 0
+PV_EXIT_CODE_HI = 1
+PV_INIT_PC = 2
+PV_INIT_CYCLE = 3
+PV_END_PC = 4
+PV_END_CYCLE = 5
+PV_PUBLIC_IO = 6
+
+
+def _raw_pi_mles(raw_pi: List[List[int]]) -> List[Gl]:
+    out = []
+    for vec in raw_pi:
+        n = max(1, 1 << (len(vec) - 1).bit_length()) if len(vec) > 1 else 1
+        padded = list(vec) + [0] * (n - len(vec))
+        out.append(gl.from_u64(np.asarray(padded, dtype=np.uint64)))
+    return out
+
+
+def _absorb_raw_pi(t: tr.Transcript, raw_pi: List[List[int]]) -> None:
+    for vec in raw_pi:
+        for v in vec:
+            t.append_field_element_u64(int(v))
+
+
+def create_proof(
+    pk: ZKVMProvingKey,
+    witnesses: Dict[str, List[Gl]],
+    structural: Dict[str, List[Gl]],
+    num_instances: Dict[str, int],
+    pv: PublicValues,
+    t: tr.Transcript,
+    num_shards: int = 1,
+) -> ZKVMProof:
+    """witnesses[name] = padded witin columns; num_instances[name] = real
+    (unpadded) instance count.  Circuits with no instances are skipped."""
+    pcs = pk.pcs
+    raw_pi = pv.to_vec()
+    _absorb_raw_pi(t, raw_pi)
+    pi_mles = _raw_pi_mles(raw_pi)
+    # instance scalars for opcode circuits: single-value public inputs
+    pi_scalars = [
+        gl2.from_base(m[0]) if m.lo.shape[0] == 1 else gl2.from_base(m[0])
+        for m in pi_mles
+    ]
+
+    for name in pk.sorted_names():
+        cpk = pk.circuit_pks[name]
+        if cpk.fixed_commit is not None:
+            Basefold.write_commitment(cpk.fixed_commit, t)
+
+    commitments = {}
+    for name in pk.sorted_names():
+        if num_instances.get(name, 0) == 0:
+            continue
+        cww = pcs.commit(witnesses[name])
+        Basefold.write_commitment(cww.to_commitment(), t)
+        commitments[name] = cww
+
+    challenges = [t.read_challenge(), t.read_challenge()]
+
+    proof = ZKVMProof(raw_pi, _constant_pi_evals(raw_pi))
+    forks = t.fork(len(pk.circuit_pks))
+    for i, name in enumerate(pk.sorted_names()):
+        if num_instances.get(name, 0) == 0:
+            continue
+        cpk = pk.circuit_pks[name]
+        cs = cpk.cs
+        ft = forks[i]
+        is_opcode = not (
+            cs.r_table_expressions or cs.w_table_expressions or cs.lk_table_expressions
+        )
+        if is_opcode:
+            p = create_opcode_proof(
+                name, pcs, cs, witnesses[name], commitments[name], pi_scalars,
+                num_instances[name], ft, challenges, num_shards,
+            )
+            proof.opcode_proofs[name] = (i, p)
+        else:
+            p, pi_in_evals = create_table_proof(
+                name, pcs, cs, cpk.fixed_traces or [], cpk.fixed_cww,
+                witnesses[name], commitments[name], structural.get(name, []),
+                pi_scalars, pi_mles, ft, challenges, num_shards,
+            )
+            proof.table_proofs[name] = (i, p)
+            for idx, ev in pi_in_evals.items():
+                proof.pi_evals[idx] = ev
+    return proof
+
+
+def _constant_pi_evals(raw_pi: List[List[int]]) -> Dict[int, Gl2]:
+    return {
+        i: gl2.const(vec[0]) for i, vec in enumerate(raw_pi) if len(vec) == 1
+    }
+
+
+def verify_proof(
+    pk_or_vk,
+    proof: ZKVMProof,
+    t: tr.Transcript,
+) -> jnp.ndarray:
+    """Returns on-device ok.  pk_or_vk: ZKVMProvingKey (doubles as vk —
+    fixed commitments + constraint systems; witness data unused)."""
+    vk = pk_or_vk
+    pcs = vk.pcs
+    raw_pi = proof.raw_pi
+    _absorb_raw_pi(t, raw_pi)
+    pi_mles = _raw_pi_mles(raw_pi)
+    pi_evals = [
+        proof.pi_evals.get(i, gl2.const(raw_pi[i][0] if len(raw_pi[i]) == 1 else 0))
+        for i in range(len(raw_pi))
+    ]
+
+    ok = jnp.asarray(True)
+    # constant pi evals must equal the raw constants
+    for i, vec in enumerate(raw_pi):
+        if len(vec) == 1:
+            ok = ok & jnp.all(gl2.eq(pi_evals[i], gl2.const(vec[0])))
+
+    for name in vk.sorted_names():
+        cpk = vk.circuit_pks[name]
+        if cpk.fixed_commit is not None:
+            Basefold.write_commitment(cpk.fixed_commit, t)
+    for name, (_, p) in sorted(proof.opcode_proofs.items()):
+        Basefold.write_commitment(p.wits_commit, t)
+    for name, (_, p) in sorted(proof.table_proofs.items()):
+        Basefold.write_commitment(p.wits_commit, t)
+
+    challenges = [t.read_challenge(), t.read_challenge()]
+    dummy_table_item = challenges[0]
+    dummy_multiplicity = 0
+
+    prod_r = gl2.ones(())
+    prod_w = gl2.ones(())
+    logup_sum = gl2.zeros(())
+
+    forks = t.fork(len(vk.circuit_pks))
+    for name, (i, p) in proof.opcode_proofs.items():
+        cs = vk.circuit_pks[name].cs
+        out = verify_opcode_proof(name, pcs, cs, p, pi_evals, forks[i], challenges)
+        ok = ok & out.ok
+
+        num_lks = len(cs.lk_expressions)
+        pad_lks = next_pow2_instance_padding(num_lks) - num_lks
+        pad_inst = next_pow2_instance_padding(p.num_instances) - p.num_instances
+        dummy_multiplicity += (
+            pad_lks * p.num_instances
+            + next_pow2_instance_padding(num_lks) * pad_inst
+        )
+
+        prod_r = gl2.mul(prod_r, gl2.mul(p.record_r_out_evals[0], p.record_r_out_evals[1]))
+        prod_w = gl2.mul(prod_w, gl2.mul(p.record_w_out_evals[0], p.record_w_out_evals[1]))
+        p1, p2, q1, q2 = p.lk_out_evals
+        logup_sum = gl2.add(logup_sum, gl2.mul(p1, gl2.inv(q1)))
+        logup_sum = gl2.add(logup_sum, gl2.mul(p2, gl2.inv(q2)))
+
+    for name, (i, p) in proof.table_proofs.items():
+        cs = vk.circuit_pks[name].cs
+        out = verify_table_proof(
+            name, pcs, cs, vk.circuit_pks[name].fixed_commit, p,
+            pi_mles, pi_evals, forks[i], challenges,
+        )
+        ok = ok & out.ok
+        for (p1, p2, q1, q2) in p.lk_out_evals:
+            logup_sum = gl2.sub(logup_sum, gl2.mul(p1, gl2.inv(q1)))
+            logup_sum = gl2.sub(logup_sum, gl2.mul(p2, gl2.inv(q2)))
+        for e in p.w_out_evals:
+            prod_w = gl2.mul(prod_w, gl2.mul(e[0], e[1]))
+        for e in p.r_out_evals:
+            prod_r = gl2.mul(prod_r, gl2.mul(e[0], e[1]))
+
+    logup_sum = gl2.sub(
+        logup_sum,
+        gl2.mul(gl2.const(dummy_multiplicity), gl2.inv(dummy_table_item)),
+    )
+    ok = ok & jnp.all(gl2.eq(logup_sum, gl2.zeros(())))
+
+    if vk.initial_global_state_expr is not None:
+        init_gs = eval_scalar(
+            vk.initial_global_state_expr, [], challenges, instance=pi_evals
+        )
+        prod_w = gl2.mul(prod_w, init_gs)
+        final_gs = eval_scalar(
+            vk.finalize_global_state_expr, [], challenges, instance=pi_evals
+        )
+        prod_r = gl2.mul(prod_r, final_gs)
+    ok = ok & jnp.all(gl2.eq(prod_r, prod_w))
+    return ok

@@ -14,7 +14,7 @@ from ceno_tpu.pcs.basefold import check
 from ceno_tpu.transcript import basic as tr
 
 P = gl.P
-SPEC = RSSpec(num_queries=17, rate_log=1, basecode_msg_size_log=1)
+SPEC = RSSpec(num_queries=9, rate_log=1, basecode_msg_size_log=1)
 
 
 def rand_gl(rng, n):
