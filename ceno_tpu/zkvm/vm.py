@@ -107,8 +107,20 @@ def create_proof(
         if cpk.fixed_commit is not None:
             Basefold.write_commitment(cpk.fixed_commit, t)
 
+    # commit opcode circuits first, then tables, each sorted by name —
+    # the verifier replays absorbs in this order (prover.rs:98 comment,
+    # verifier.rs:118-127)
+    def is_opcode_name(name):
+        c = pk.circuit_pks[name].cs
+        return not (
+            c.r_table_expressions or c.w_table_expressions or c.lk_table_expressions
+        )
+
     commitments = {}
-    for name in pk.sorted_names():
+    ordered = [n for n in pk.sorted_names() if is_opcode_name(n)] + [
+        n for n in pk.sorted_names() if not is_opcode_name(n)
+    ]
+    for name in ordered:
         if num_instances.get(name, 0) == 0:
             continue
         cww = pcs.commit(witnesses[name])
