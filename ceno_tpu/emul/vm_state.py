@@ -295,10 +295,13 @@ class VMState:
         return v
 
     def store_register(self, idx: int, after: int) -> None:
-        if idx != 0:
-            before = self.registers[idx]
-            self.tracer.store_register(idx, Change(before, after))
-            self.registers[idx] = after
+        if idx == 0:
+            # dark write to RD_NULL (rv32im.rs:240-247): x0 stays zero but the
+            # write record still lands on a real register-table row
+            idx = RD_NULL
+        before = self.registers[idx]
+        self.tracer.store_register(idx, Change(before, after))
+        self.registers[idx] = after
 
     def load_memory(self, waddr: int) -> int:
         v = self.peek_memory(waddr)

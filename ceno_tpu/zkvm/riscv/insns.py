@@ -288,10 +288,12 @@ class BranchConfig:
     imm: WitIn
     cond: WitIn  # branch-taken bit
     aux: List[WitIn]  # inv witness (eq) or diff limbs (ltu)
+    msb1: Optional[object] = None  # BLT/BGE sign-bit gadgets
+    msb2: Optional[object] = None
 
 
 def construct_branch(kind: int) -> BranchConfig:
-    assert kind in (K.BEQ, K.BNE, K.BLTU, K.BGEU)
+    assert kind in (K.BEQ, K.BNE, K.BLTU, K.BGEU, K.BLT, K.BGE)
     cs = ConstraintSystem(InsnKind.NAMES[kind])
     state = StateInOut.construct(cs, branching=True)
     rs1_limbs = [cs.create_witin(f"rs1_l{i}") for i in range(UINT_LIMBS)]
@@ -303,6 +305,15 @@ def construct_branch(kind: int) -> BranchConfig:
     lhs = rs1_limbs[0] + rs1_limbs[1] * Constant(1 << 16)
     rhs = rs2_limbs[0] + rs2_limbs[1] * Constant(1 << 16)
     aux: List[WitIn] = []
+    msb1 = msb2 = None
+    if kind in (K.BLT, K.BGE):
+        # signed compare: offset both sides by msb*2^32 (signed_ext.rs + is_lt.rs)
+        from .gadgets import MsbConfig
+
+        msb1 = MsbConfig.construct(cs, rs1_limbs[1], "msb1")
+        msb2 = MsbConfig.construct(cs, rs2_limbs[1], "msb2")
+        lhs = lhs - msb1.msb * Constant(1 << 32)
+        rhs = rhs - msb2.msb * Constant(1 << 32)
     if kind in (K.BEQ, K.BNE):
         # is_eq gadget: inv witness; diff * is_eq == 0; is_eq = 1 - diff*inv
         inv = cs.create_witin("diff_inv")
@@ -323,7 +334,7 @@ def construct_branch(kind: int) -> BranchConfig:
             term = w * Constant(pow16)
             diff_expr = term if diff_expr is None else diff_expr + term
             pow16 <<= 16
-        lt_bit = cond if kind == K.BLTU else (Constant(1) - cond)
+        lt_bit = cond if kind in (K.BLTU, K.BLT) else (Constant(1) - cond)
         cs.require_zero((lhs - rhs) - (diff_expr - lt_bit * Constant(1 << 32)), "is_lt")
 
     # next_pc = pc + (cond ? imm : 4)
@@ -336,7 +347,8 @@ def construct_branch(kind: int) -> BranchConfig:
     rs1 = ReadReg.construct(cs, list(rs1_limbs), state.ts, SUBCYCLE_RS1)
     rs2 = ReadReg.construct(cs, list(rs2_limbs), state.ts, SUBCYCLE_RS2)
     lk_fetch(cs, state.pc, kind, Constant(32), rs1.id, rs2.id, imm)
-    return BranchConfig(cs, kind, state, rs1, rs2, rs1_limbs, rs2_limbs, imm, cond, aux)
+    return BranchConfig(cs, kind, state, rs1, rs2, rs1_limbs, rs2_limbs, imm, cond,
+                        aux, msb1, msb2)
 
 
 def assign_branch(config: BranchConfig, steps, lkm: LkMultiplicity) -> WitnessMatrix:
@@ -368,11 +380,20 @@ def assign_branch(config: BranchConfig, steps, lkm: LkMultiplicity) -> WitnessMa
         )
         wm.set(config.aux[0], inv)
     else:
-        lt = rs1_v < rs2_v
-        cond = lt if k == K.BLTU else ~lt
+        if k in (K.BLT, K.BGE):
+            s1 = rs1_v.astype(np.int64)
+            s1 = np.where(s1 >= (1 << 31), s1 - (1 << 32), s1)
+            s2 = rs2_v.astype(np.int64)
+            s2 = np.where(s2 >= (1 << 31), s2 - (1 << 32), s2)
+            config.msb1.assign(wm, lkm, (rs1_v >> np.uint64(16)) & np.uint64(0xFFFF))
+            config.msb2.assign(wm, lkm, (rs2_v >> np.uint64(16)) & np.uint64(0xFFFF))
+        else:
+            s1 = rs1_v.astype(np.int64)
+            s2 = rs2_v.astype(np.int64)
+        lt = s1 < s2
+        cond = lt if k in (K.BLTU, K.BLT) else ~lt
         wm.set(config.cond, cond.astype(np.uint64))
-        d = (rs1_v.astype(np.int64) - rs2_v.astype(np.int64)
-             + (lt.astype(np.int64) << 32)).astype(np.uint64)
+        d = (s1 - s2 + (lt.astype(np.int64) << 32)).astype(np.uint64)
         for i, w in enumerate(config.aux):
             limb = (d >> np.uint64(16 * i)) & np.uint64(0xFFFF)
             wm.set(w, limb)

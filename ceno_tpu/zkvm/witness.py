@@ -87,4 +87,8 @@ class WitnessMatrix:
 def signed_to_field(v) -> np.ndarray:
     """i64 -> canonical field value (i64_to_base)."""
     arr = np.asarray(v, dtype=np.int64)
-    return np.where(arr < 0, (arr + P).astype(np.uint64), arr.astype(np.uint64))
+    # P doesn't fit in int64; wrapping uint64 add gives arr + P exactly for
+    # negative arr (two's complement + P - 2^64 wrap), canonical since |arr| < P
+    with np.errstate(over="ignore"):
+        wrapped = arr.astype(np.uint64) + np.uint64(P)
+    return np.where(arr < 0, wrapped, arr.astype(np.uint64))

@@ -40,21 +40,33 @@ def test_profiler():
 
 
 def test_mock_prover_catches_bad_witness():
-    """MockProver flags a violated carry-bit constraint."""
-    import jax
+    """MockProver accepts a genuinely-assigned ADD witness and flags a
+    corrupted carry bit (mock_prover.rs assert_satisfied_raw analog)."""
     import pytest
 
+    from ceno_tpu.emul import CENO_PLATFORM, Program, VMState, encode_rv32
     from ceno_tpu.field import gl
     from ceno_tpu.zkvm.mock_prover import MockProverError, assert_satisfied
-    from ceno_tpu.zkvm.riscv.arith import construct_add_sub
+    from ceno_tpu.zkvm.riscv.arith import assign_add_sub, construct_add_sub
+    from ceno_tpu.zkvm.witness import LkMultiplicity
+
+    insns = [encode_rv32(InsnKind.ADD, 1, 2, 3, 0) for _ in range(4)]
+    program = Program.from_instructions(CENO_PLATFORM.pc_base(), insns)
+    vm = VMState(CENO_PLATFORM, program)
+    vm.init_register_unsafe(1, 0xFFFF1234)
+    vm.init_register_unsafe(2, 0x0000F00D)
+    steps = []
+    for s in vm.iter_until_halt(max_steps=4):
+        steps.append(s)
+        if len(steps) == 4:
+            break
 
     cfg = construct_add_sub(InsnKind.ADD, "ADD")
-    n = 4
-    wits = [gl.zeros((n,)) for _ in range(cfg.cs.num_witin)]
-    # all-zero witness satisfies carry bits and linear asserts trivially
-    assert_satisfied(cfg.cs, wits, n)
+    wm = assign_add_sub(cfg, steps, LkMultiplicity())
+    wits = wm.to_columns()
+    assert_satisfied(cfg.cs, wits, len(steps))
     # corrupt a carry to a non-bit value
     bad = list(wits)
-    bad[cfg.carries[0].id] = gl.full((n,), 2)
+    bad[cfg.carries[0].id] = gl.full(bad[cfg.carries[0].id].lo.shape, 2)
     with pytest.raises(MockProverError):
-        assert_satisfied(cfg.cs, bad, n)
+        assert_satisfied(cfg.cs, bad, len(steps))
