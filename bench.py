@@ -16,12 +16,46 @@ import time
 import numpy as np
 
 
+def bench_fibonacci(n=32):
+    """Fibonacci guest e2e prove (the reference's headline workload,
+    ceno_zkvm/benches/fibonacci.rs). Prints prove seconds + steps/s."""
+    import jax
+
+    from ceno_tpu.emul.insn import InsnKind as K
+    from ceno_tpu.emul.programs import fib, fibonacci_program
+    from ceno_tpu.pcs import RSSpec
+    from ceno_tpu.zkvm.e2e import Checkpoint, run_e2e_with_checkpoint
+
+    program = fibonacci_program(n)
+    kinds = (K.ADD, K.ADDI, K.BEQ, K.JAL, K.ECALL)
+    spec = RSSpec()  # production parameters: 200 queries, rate 1/2
+    res = run_e2e_with_checkpoint(
+        program, max_steps=1 << 20, checkpoint=Checkpoint.COMPLETE,
+        spec=spec, kinds=kinds,
+    )
+    assert res.verified is True and res.exit_code == fib(n)
+    dt = res.timings["prove"]
+    print(json.dumps({
+        "metric": f"fibonacci_n{n}_e2e_prove",
+        "value": round(res.steps / dt, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(dt, 3),
+    }))
+
+
 def main():
+    import sys
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    if "--fib" in sys.argv:
+        idx = sys.argv.index("--fib")
+        n = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 32
+        return bench_fibonacci(n)
 
     from ceno_tpu.field import gl
     from ceno_tpu.sumcheck import VirtualPoly, prove

@@ -82,7 +82,10 @@ def run_e2e_with_checkpoint(
         return E2EResult(None, None, len(steps), vm.exit_code, timings)
 
     program_size = max(4, 1 << (len(program.instructions) - 1).bit_length())
-    config = Rv32imConfig.construct(program_size, kinds=kinds)
+    from .riscv.config import MemLayout
+
+    mem_layout = MemLayout.from_execution(program, vm, platform)
+    config = Rv32imConfig.construct(program_size, kinds=kinds, mem_layout=mem_layout)
     pcs = Basefold(spec, max_num_vars=max_num_vars)
     t0 = time.time()
     fixed = config.generate_fixed_traces(program, vm._reg_init)
@@ -90,14 +93,14 @@ def run_e2e_with_checkpoint(
     timings["keygen"] = time.time() - t0
 
     t0 = time.time()
-    witnesses, num_instances = config.assign_witnesses(steps, program, vm)
+    witnesses, num_instances, structural = config.assign_witnesses(steps, program, vm)
     timings["witness_gen"] = time.time() - t0
     if checkpoint == Checkpoint.PREP_WITNESS_GEN:
         return E2EResult(None, None, len(steps), vm.exit_code, timings)
 
     t0 = time.time()
     t = tr.Transcript(b"riscv")
-    proof = zkvm.create_proof(pk, witnesses, {}, num_instances, pv, t,
+    proof = zkvm.create_proof(pk, witnesses, structural, num_instances, pv, t,
                               num_shards=num_shards)
     timings["prove"] = time.time() - t0
 
@@ -116,15 +119,23 @@ def main(argv=None):
     import json
 
     p = argparse.ArgumentParser(description="ceno_tpu e2e prover")
-    p.add_argument("elf", help="path to a RISC-V ELF32 guest binary")
+    p.add_argument("elf", nargs="?", help="path to a RISC-V ELF32 guest binary")
+    p.add_argument("--fib", type=int, default=None,
+                   help="prove the synthesized fibonacci guest fib(N) instead of an ELF")
     p.add_argument("--max-steps", type=int, default=1 << 20)
     p.add_argument("--checkpoint", default="complete",
                    choices=["emulate", "witness", "complete"])
     p.add_argument("--num-shards", type=int, default=1)
     args = p.parse_args(argv)
 
-    with open(args.elf, "rb") as f:
-        program = load_elf(f.read())
+    if args.fib is not None:
+        from ..emul.programs import fibonacci_program
+
+        program = fibonacci_program(args.fib)
+    else:
+        assert args.elf, "need an ELF path or --fib N"
+        with open(args.elf, "rb") as f:
+            program = load_elf(f.read())
     cp = {
         "emulate": Checkpoint.PREP_E2E_PROVING,
         "witness": Checkpoint.PREP_WITNESS_GEN,

@@ -32,7 +32,39 @@ from .insns import (
     construct_logic,
     construct_sltu,
 )
-from .tables import OpsTable, ProgramTable, RangeTable, RegTable, global_state_exprs
+from .insns2 import (
+    assign_div_rem,
+    assign_halt,
+    assign_jalr,
+    assign_logic_imm,
+    assign_mul,
+    assign_shift,
+    assign_slt,
+    construct_div_rem,
+    construct_halt,
+    construct_jalr,
+    construct_logic_imm,
+    construct_mul,
+    construct_shift,
+    construct_slt,
+)
+from .memory import (
+    LOADS,
+    STORES,
+    assign_load,
+    assign_store,
+    construct_load,
+    construct_store,
+)
+from .tables import (
+    DynMemTable,
+    OpsTable,
+    ProgramTable,
+    RangeTable,
+    RegTable,
+    StaticMemTable,
+    global_state_exprs,
+)
 
 K = InsnKind
 
@@ -48,12 +80,106 @@ _BUILDERS = {
     K.BNE: (lambda: construct_branch(K.BNE), assign_branch),
     K.BLTU: (lambda: construct_branch(K.BLTU), assign_branch),
     K.BGEU: (lambda: construct_branch(K.BGEU), assign_branch),
+    K.BLT: (lambda: construct_branch(K.BLT), assign_branch),
+    K.BGE: (lambda: construct_branch(K.BGE), assign_branch),
     K.JAL: (construct_jal, assign_jal),
+    K.JALR: (construct_jalr, assign_jalr),
+    K.ANDI: (lambda: construct_logic_imm(K.ANDI), assign_logic_imm),
+    K.ORI: (lambda: construct_logic_imm(K.ORI), assign_logic_imm),
+    K.XORI: (lambda: construct_logic_imm(K.XORI), assign_logic_imm),
+    K.SLT: (lambda: construct_slt(K.SLT), assign_slt),
+    K.SLTI: (lambda: construct_slt(K.SLTI), assign_slt),
+    K.SLTIU: (lambda: construct_slt(K.SLTIU), assign_slt),
+    K.SLLI: (lambda: construct_shift(K.SLLI), assign_shift),
+    K.SRLI: (lambda: construct_shift(K.SRLI), assign_shift),
+    K.SRAI: (lambda: construct_shift(K.SRAI), assign_shift),
+    K.SLL: (lambda: construct_shift(K.SLL), assign_shift),
+    K.SRL: (lambda: construct_shift(K.SRL), assign_shift),
+    K.SRA: (lambda: construct_shift(K.SRA), assign_shift),
+    K.MUL: (lambda: construct_mul(K.MUL), assign_mul),
+    K.MULH: (lambda: construct_mul(K.MULH), assign_mul),
+    K.MULHU: (lambda: construct_mul(K.MULHU), assign_mul),
+    K.MULHSU: (lambda: construct_mul(K.MULHSU), assign_mul),
+    K.DIVU: (lambda: construct_div_rem(K.DIVU), assign_div_rem),
+    K.REMU: (lambda: construct_div_rem(K.REMU), assign_div_rem),
+    K.DIV: (lambda: construct_div_rem(K.DIV), assign_div_rem),
+    K.REM: (lambda: construct_div_rem(K.REM), assign_div_rem),
+    K.ECALL: (construct_halt, assign_halt),
+    K.LW: (lambda: construct_load(K.LW), assign_load),
+    K.LH: (lambda: construct_load(K.LH), assign_load),
+    K.LHU: (lambda: construct_load(K.LHU), assign_load),
+    K.LB: (lambda: construct_load(K.LB), assign_load),
+    K.LBU: (lambda: construct_load(K.LBU), assign_load),
+    K.SW: (lambda: construct_store(K.SW), assign_store),
+    K.SH: (lambda: construct_store(K.SH), assign_store),
+    K.SB: (lambda: construct_store(K.SB), assign_store),
 }
 
 DEFAULT_KINDS = tuple(_BUILDERS.keys())
 
-_LOGIC_TABLE_OF = {K.AND: ROMType.And, K.OR: ROMType.Or, K.XOR: ROMType.Xor}
+# which ops-ROM tables each opcode's lookups hit
+_OPS_TABLES_OF = {
+    K.AND: [ROMType.And], K.OR: [ROMType.Or], K.XOR: [ROMType.Xor],
+    K.ANDI: [ROMType.And], K.ORI: [ROMType.Or], K.XORI: [ROMType.Xor],
+    K.SLL: [ROMType.Pow], K.SRL: [ROMType.Pow], K.SRA: [ROMType.Pow],
+}
+
+# byte-granular memory ops need the U8 range table
+_U8_KINDS = {K.LB, K.LBU, K.SB}
+
+_MEM_KINDS = set(LOADS) | set(STORES)
+
+
+@dataclass
+class MemLayout:
+    """Word-address layout of the RAM tables (mmu.rs MmuConfig + MemPadder).
+
+    static_waddrs: pow2-padded program-data word addresses (fixed column);
+    dyn regions: (offset_waddr, pow2 length) per named region — addresses are
+    StructuralWitIns addr_i = offset + i, so each region must be a contiguous
+    window covering every touched word."""
+
+    static_waddrs: np.ndarray
+    dyn_regions: Dict[str, tuple]  # name -> (offset, length)
+
+    @staticmethod
+    def minimal() -> "MemLayout":
+        """Unit-test layout: a 4-word static window, no dyn regions."""
+        return MemLayout(
+            np.arange(4, dtype=np.uint64) + np.uint64(0x2000_0400 >> 2), {}
+        )
+
+    @staticmethod
+    def from_execution(program, vm, platform) -> "MemLayout":
+        """Layout derived from the program image + touched addresses
+        (e2e.rs init_mem analog; offsets snap to the touched window)."""
+        img_waddrs = sorted({a >> 2 for a in program.image})
+        if not img_waddrs:
+            img_waddrs = [platform.rom[0] >> 2]
+        n = 1 << (len(img_waddrs) - 1).bit_length()
+        last = img_waddrs[-1]
+        pad = [last + i + 1 for i in range(n - len(img_waddrs))]
+        static = np.asarray(img_waddrs + pad, dtype=np.uint64)
+        static_set = set(img_waddrs + pad)
+
+        touched = [w for w in vm.tracer.latest_accesses
+                   if w >= (0x2000_0000 >> 2) and w not in static_set]
+        regions: Dict[str, tuple] = {}
+        for name, (lo, hi) in (("STACK_MEM", platform.stack),
+                               ("HEAP_MEM", platform.heap),
+                               ("IO_MEM", platform.public_io),
+                               ("HINTS_MEM", platform.hints)):
+            ws = [w for w in touched if (lo >> 2) <= w < (hi >> 2)]
+            if name == "HEAP_MEM":
+                # heap overlaps the stack range in CENO_PLATFORM; prefer stack
+                ws = [w for w in ws
+                      if not ((platform.stack[0] >> 2) <= w < (platform.stack[1] >> 2))]
+            if not ws:
+                continue
+            off = min(ws)
+            length = 1 << (max(ws) - off).bit_length() if max(ws) > off else 1
+            regions[name] = (off, length)
+        return MemLayout(static, regions)
 
 
 @dataclass
@@ -64,10 +190,16 @@ class Rv32imConfig:
     ops_tables: Dict[int, OpsTable]
     program_table: ProgramTable
     reg_table: RegTable
+    u8_table: Optional[RangeTable] = None
+    static_mem: Optional[StaticMemTable] = None
+    dyn_mems: Dict[str, DynMemTable] = field(default_factory=dict)
+    mem_layout: Optional[MemLayout] = None
 
     @staticmethod
     def construct(
-        program_size: int, kinds: Sequence[int] = DEFAULT_KINDS
+        program_size: int,
+        kinds: Sequence[int] = DEFAULT_KINDS,
+        mem_layout: Optional[MemLayout] = None,
     ) -> "Rv32imConfig":
         zkvm_cs = ZKVMConstraintSystem()
         opcode_cfgs = {}
@@ -79,21 +211,40 @@ class Rv32imConfig:
 
         u16 = RangeTable.construct(ROMType.U16, 16)
         zkvm_cs.register(u16.cs)
+        u8 = None
+        if _U8_KINDS & set(opcode_cfgs):
+            u8 = RangeTable.construct(ROMType.U8, 8)
+            zkvm_cs.register(u8.cs)
         ops_tables = {}
-        for kind, rom in _LOGIC_TABLE_OF.items():
+        for kind, roms in _OPS_TABLES_OF.items():
             if kind in opcode_cfgs:
-                tbl = OpsTable.construct(rom)
-                ops_tables[rom] = tbl
-                zkvm_cs.register(tbl.cs)
+                for rom in roms:
+                    if rom not in ops_tables:
+                        tbl = OpsTable.construct(rom)
+                        ops_tables[rom] = tbl
+                        zkvm_cs.register(tbl.cs)
         prog = ProgramTable.construct(program_size)
         zkvm_cs.register(prog.cs)
         reg = RegTable.construct()
         zkvm_cs.register(reg.cs)
 
+        static_mem = None
+        dyn_mems: Dict[str, DynMemTable] = {}
+        if _MEM_KINDS & set(opcode_cfgs):
+            if mem_layout is None:
+                mem_layout = MemLayout.minimal()
+            static_mem = StaticMemTable.construct(mem_layout.static_waddrs)
+            zkvm_cs.register(static_mem.cs)
+            for name, (off, length) in mem_layout.dyn_regions.items():
+                dyn = DynMemTable.construct(name, off, max_len=length)
+                dyn_mems[name] = dyn
+                zkvm_cs.register(dyn.cs)
+
         init_gs, fin_gs = global_state_exprs(reg.cs)
         zkvm_cs.initial_global_state_expr = init_gs
         zkvm_cs.finalize_global_state_expr = fin_gs
-        return Rv32imConfig(zkvm_cs, opcode_cfgs, u16, ops_tables, prog, reg)
+        return Rv32imConfig(zkvm_cs, opcode_cfgs, u16, ops_tables, prog, reg,
+                            u8, static_mem, dyn_mems, mem_layout)
 
     def generate_fixed_traces(self, program, reg_init: np.ndarray) -> Dict[str, List[Gl]]:
         from ...field import gl
@@ -106,14 +257,22 @@ class Rv32imConfig:
             "PROGRAM": cols(self.program_table.fixed_trace(program)),
             "REG_TABLE": cols(self.reg_table.fixed_trace(reg_init)),
         }
+        if self.u8_table is not None:
+            out["RANGE_U8"] = cols(self.u8_table.fixed_trace())
         for tbl in self.ops_tables.values():
             out[tbl.cs.name] = cols(tbl.fixed_trace())
+        if self.static_mem is not None:
+            init_words = np.asarray(
+                [program.image.get(int(w) << 2, 0) for w in self.static_mem.waddrs],
+                dtype=np.uint64,
+            )
+            out[self.static_mem.cs.name] = cols(self.static_mem.fixed_trace(init_words))
         return out
 
     def assign_witnesses(self, steps, program, vm) -> tuple:
         """Bucket steps by kind, assign opcode circuits, then tables.
 
-        Returns (witnesses dict name -> columns, num_instances dict)."""
+        Returns (witnesses, num_instances, structural) dicts by circuit name."""
         lkm = LkMultiplicity()
         buckets: Dict[int, list] = {}
         for s in steps:
@@ -157,8 +316,40 @@ class Rv32imConfig:
 
         witnesses["RANGE_U16"] = self.u16_table.assign(lkm).to_columns()
         num_instances["RANGE_U16"] = self.u16_table.table_len
+        if self.u8_table is not None:
+            witnesses["RANGE_U8"] = self.u8_table.assign(lkm).to_columns()
+            num_instances["RANGE_U8"] = self.u8_table.table_len
         for tbl in self.ops_tables.values():
             witnesses[tbl.cs.name] = tbl.assign(lkm).to_columns()
             num_instances[tbl.cs.name] = tbl.table_len
 
-        return witnesses, num_instances
+        # memory tables: final word values/cycles from the VM + tracer
+        structural: Dict[str, List[Gl]] = {}
+        if self.static_mem is not None:
+            from ...field import gl
+
+            accesses = vm.tracer.latest_accesses
+
+            def finals(waddrs):
+                words = np.asarray(
+                    [vm.peek_memory(int(w)) for w in waddrs], dtype=np.uint64
+                )
+                cyc = np.asarray(
+                    [accesses.get(int(w), 0) for w in waddrs], dtype=np.uint64
+                )
+                return words, cyc
+
+            sm = self.static_mem
+            words, cyc = finals(sm.waddrs)
+            witnesses[sm.cs.name] = sm.assign(words, cyc).to_columns()
+            num_instances[sm.cs.name] = len(sm.waddrs)
+            for name, dyn in self.dyn_mems.items():
+                off, length = self.mem_layout.dyn_regions[name]
+                waddrs = np.uint64(off) + np.arange(length, dtype=np.uint64)
+                words, cyc = finals(waddrs)
+                wm, cols_np = dyn.assign(length, words, cyc)
+                witnesses[name] = wm.to_columns()
+                structural[name] = [gl.from_u64(c) for c in cols_np]
+                num_instances[name] = length
+
+        return witnesses, num_instances, structural

@@ -247,3 +247,98 @@ def global_state_exprs(cs_reg: ConstraintSystem):
         [Constant(RAMType.GlobalState), Instance(PV_END_PC), Instance(PV_END_CYCLE)]
     )
     return init, fin
+
+
+# ---------------------------------------------------------------------------
+# Memory tables (ram_impl.rs NonVolatileTableConfig / DynVolatileRamTableConfig)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class StaticMemTable:
+    """Non-volatile RAM table over a fixed word-address list (program data):
+    fixed addr + init value limbs; witness final value limbs + final cycle.
+    Record addr unit is the word address (WordAddr), matching the load/store
+    circuits (ram_impl.rs:28-100)."""
+
+    cs: ConstraintSystem
+    addr: Fixed
+    init_v: List[Fixed]
+    final_v: List[WitIn]
+    final_cycle: WitIn
+    waddrs: np.ndarray  # padded word-address list (pow2)
+
+    @staticmethod
+    def construct(waddrs: np.ndarray, name: str = "STATIC_MEM") -> "StaticMemTable":
+        n = len(waddrs)
+        assert n & (n - 1) == 0, "address list must be pow2-padded (MemPadder)"
+        cs = ConstraintSystem(name)
+        addr = cs.create_fixed("addr")
+        init_v = [cs.create_fixed(f"init_v{i}") for i in range(2)]
+        final_cycle = cs.create_witin("final_cycle")
+        final_v = [cs.create_witin(f"final_v{i}") for i in range(2)]
+        spec = SetTableSpec(len=n)
+        cs.w_table_record(
+            [Constant(RAMType.Memory), addr] + list(init_v) + [Constant(0)], spec
+        )
+        cs.r_table_record(
+            [Constant(RAMType.Memory), addr] + list(final_v) + [final_cycle], spec
+        )
+        return StaticMemTable(cs, addr, init_v, final_v, final_cycle,
+                              np.asarray(waddrs, dtype=np.uint64))
+
+    def fixed_trace(self, init_words: np.ndarray) -> List[np.ndarray]:
+        w = np.asarray(init_words, dtype=np.uint64)
+        return [self.waddrs, w & np.uint64(0xFFFF), w >> np.uint64(16)]
+
+    def assign(self, final_words: np.ndarray, final_cycles: np.ndarray) -> WitnessMatrix:
+        wm = WitnessMatrix(self.cs.num_witin, len(self.waddrs))
+        fv = np.asarray(final_words, dtype=np.uint64)
+        wm.set(self.final_cycle, np.asarray(final_cycles, dtype=np.uint64))
+        wm.set(self.final_v[0], fv & np.uint64(0xFFFF))
+        wm.set(self.final_v[1], fv >> np.uint64(16))
+        return wm
+
+
+@dataclass
+class DynMemTable:
+    """Dynamic volatile RAM table (ram_impl.rs:306-411): the address column is
+    a StructuralWitIn addr_i = offset + i (word addresses), evaluated
+    succinctly by the verifier; init value 0 @ cycle 0; the table length is
+    dynamic (pow2 of the touched span).  Used for stack/heap/hints regions."""
+
+    cs: ConstraintSystem
+    addr: object  # StructuralWitIn
+    final_v: List[WitIn]
+    final_cycle: WitIn
+    offset: int  # word address of row 0
+
+    @staticmethod
+    def construct(name: str, offset: int, max_len: int) -> "DynMemTable":
+        cs = ConstraintSystem(name)
+        addr = cs.create_structural_witin(max_len, offset, 1, name="addr")
+        final_cycle = cs.create_witin("final_cycle")
+        final_v = [cs.create_witin(f"final_v{i}") for i in range(2)]
+        spec = SetTableSpec(len=None, structural_witins=[addr])
+        cs.w_table_record(
+            [Constant(RAMType.Memory), addr, Constant(0), Constant(0), Constant(0)],
+            spec,
+        )
+        cs.r_table_record(
+            [Constant(RAMType.Memory), addr] + list(final_v) + [final_cycle], spec
+        )
+        return DynMemTable(cs, addr, final_v, final_cycle, offset)
+
+    def assign(
+        self, length: int, final_words: np.ndarray, final_cycles: np.ndarray
+    ) -> Tuple[WitnessMatrix, List[np.ndarray]]:
+        """length: pow2 row count; final_words/cycles indexed by row.
+        Returns (witness matrix, structural columns)."""
+        assert length & (length - 1) == 0
+        wm = WitnessMatrix(self.cs.num_witin, length)
+        fv = np.asarray(final_words, dtype=np.uint64)
+        wm.set(self.final_cycle, np.asarray(final_cycles, dtype=np.uint64))
+        wm.set(self.final_v[0], fv & np.uint64(0xFFFF))
+        wm.set(self.final_v[1], fv >> np.uint64(16))
+        addrs = np.uint64(self.offset) + np.arange(length, dtype=np.uint64)
+        return wm, [addrs]

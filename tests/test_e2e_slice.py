@@ -63,7 +63,7 @@ def test_e2e_add_slice():
     fixed = config.generate_fixed_traces(program, reg_init)
     pk = config.zkvm_cs.key_gen(pcs, fixed)
 
-    witnesses, num_instances = config.assign_witnesses(steps, program, vm)
+    witnesses, num_instances, structural = config.assign_witnesses(steps, program, vm)
 
     pv = zkvm.PublicValues(
         exit_code=0,
@@ -75,7 +75,7 @@ def test_e2e_add_slice():
     )
 
     t = tr.Transcript(b"riscv")
-    proof = zkvm.create_proof(pk, witnesses, {}, num_instances, pv, t)
+    proof = zkvm.create_proof(pk, witnesses, structural, num_instances, pv, t)
 
     tv = tr.Transcript(b"riscv")
     ok = zkvm.verify_proof(pk, proof, tv)
@@ -89,13 +89,13 @@ def test_e2e_rejects_wrong_public_values():
     pcs = Basefold(SPEC, max_num_vars=17)
     fixed = config.generate_fixed_traces(program, reg_init)
     pk = config.zkvm_cs.key_gen(pcs, fixed)
-    witnesses, num_instances = config.assign_witnesses(steps, program, vm)
+    witnesses, num_instances, structural = config.assign_witnesses(steps, program, vm)
     pv = zkvm.PublicValues(
         exit_code=0, init_pc=program.entry, init_cycle=SUBCYCLES_PER_INSN,
         end_pc=vm.pc, end_cycle=vm.tracer.cycle(), public_io=(),
     )
     t = tr.Transcript(b"riscv")
-    proof = zkvm.create_proof(pk, witnesses, {}, num_instances, pv, t)
+    proof = zkvm.create_proof(pk, witnesses, structural, num_instances, pv, t)
     # tamper: claim a different end_pc -> global product invariant must fail
     proof.raw_pi[zkvm.PV_END_PC] = [(vm.pc + 4) & 0xFFFFFFFF]
     tv = tr.Transcript(b"riscv")
