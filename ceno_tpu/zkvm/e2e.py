@@ -41,9 +41,14 @@ class E2EResult:
 
 
 def emulate_program(program: Program, platform: Platform, max_steps: int,
-                    reg_init: Optional[np.ndarray] = None):
+                    reg_init: Optional[np.ndarray] = None, hints=None):
     """Run to halt (or max_steps); returns (vm, steps, public values)."""
     vm = VMState(platform, program)
+    if hints is not None:
+        image = hints.memory_image(platform)
+        for waddr, word in image.items():
+            vm.memory[waddr] = word
+        vm._hints_image = image
     init = np.zeros(REG_COUNT_POW2, dtype=np.uint64) if reg_init is None else reg_init
     for idx in range(min(vm.REG_COUNT, REG_COUNT_POW2)):
         if init[idx]:
@@ -73,10 +78,11 @@ def run_e2e_with_checkpoint(
     kinds: Sequence[int] = DEFAULT_KINDS,
     reg_init: Optional[np.ndarray] = None,
     num_shards: int = 1,
+    hints=None,
 ) -> E2EResult:
     timings: Dict[str, float] = {}
     t0 = time.time()
-    vm, steps, pv = emulate_program(program, platform, max_steps, reg_init)
+    vm, steps, pv = emulate_program(program, platform, max_steps, reg_init, hints)
     timings["emulate"] = time.time() - t0
     if checkpoint == Checkpoint.PREP_E2E_PROVING:
         return E2EResult(None, None, len(steps), vm.exit_code, timings)

@@ -236,7 +236,8 @@ class Rv32imConfig:
             static_mem = StaticMemTable.construct(mem_layout.static_waddrs)
             zkvm_cs.register(static_mem.cs)
             for name, (off, length) in mem_layout.dyn_regions.items():
-                dyn = DynMemTable.construct(name, off, max_len=length)
+                dyn = DynMemTable.construct(name, off, max_len=length,
+                                            zero_init=(name != "HINTS_MEM"))
                 dyn_mems[name] = dyn
                 zkvm_cs.register(dyn.cs)
 
@@ -343,11 +344,18 @@ class Rv32imConfig:
             words, cyc = finals(sm.waddrs)
             witnesses[sm.cs.name] = sm.assign(words, cyc).to_columns()
             num_instances[sm.cs.name] = len(sm.waddrs)
+            hints_image = getattr(vm, "_hints_image", {})
             for name, dyn in self.dyn_mems.items():
                 off, length = self.mem_layout.dyn_regions[name]
                 waddrs = np.uint64(off) + np.arange(length, dtype=np.uint64)
                 words, cyc = finals(waddrs)
-                wm, cols_np = dyn.assign(length, words, cyc)
+                init_words = None
+                if dyn.init_v is not None:
+                    init_words = np.asarray(
+                        [hints_image.get(int(w), 0) for w in waddrs],
+                        dtype=np.uint64,
+                    )
+                wm, cols_np = dyn.assign(length, words, cyc, init_words)
                 witnesses[name] = wm.to_columns()
                 structural[name] = [gl.from_u64(c) for c in cols_np]
                 num_instances[name] = length

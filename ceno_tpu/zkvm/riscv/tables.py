@@ -312,25 +312,35 @@ class DynMemTable:
     final_v: List[WitIn]
     final_cycle: WitIn
     offset: int  # word address of row 0
+    init_v: Optional[List[WitIn]] = None  # non-zero-init (hints region)
 
     @staticmethod
-    def construct(name: str, offset: int, max_len: int) -> "DynMemTable":
+    def construct(name: str, offset: int, max_len: int,
+                  zero_init: bool = True) -> "DynMemTable":
         cs = ConstraintSystem(name)
         addr = cs.create_structural_witin(max_len, offset, 1, name="addr")
         final_cycle = cs.create_witin("final_cycle")
         final_v = [cs.create_witin(f"final_v{i}") for i in range(2)]
+        init_v = None
+        if zero_init:
+            init_exprs = [Constant(0), Constant(0)]
+        else:
+            # hints-style region: init values are committed witnesses
+            # (the prover's private input, ram_impl.rs non-zero-init variant)
+            init_v = [cs.create_witin(f"init_v{i}") for i in range(2)]
+            init_exprs = [init_v[0] + Constant(0), init_v[1] + Constant(0)]
         spec = SetTableSpec(len=None, structural_witins=[addr])
         cs.w_table_record(
-            [Constant(RAMType.Memory), addr, Constant(0), Constant(0), Constant(0)],
-            spec,
+            [Constant(RAMType.Memory), addr] + init_exprs + [Constant(0)], spec
         )
         cs.r_table_record(
             [Constant(RAMType.Memory), addr] + list(final_v) + [final_cycle], spec
         )
-        return DynMemTable(cs, addr, final_v, final_cycle, offset)
+        return DynMemTable(cs, addr, final_v, final_cycle, offset, init_v)
 
     def assign(
-        self, length: int, final_words: np.ndarray, final_cycles: np.ndarray
+        self, length: int, final_words: np.ndarray, final_cycles: np.ndarray,
+        init_words: Optional[np.ndarray] = None,
     ) -> Tuple[WitnessMatrix, List[np.ndarray]]:
         """length: pow2 row count; final_words/cycles indexed by row.
         Returns (witness matrix, structural columns)."""
@@ -340,5 +350,10 @@ class DynMemTable:
         wm.set(self.final_cycle, np.asarray(final_cycles, dtype=np.uint64))
         wm.set(self.final_v[0], fv & np.uint64(0xFFFF))
         wm.set(self.final_v[1], fv >> np.uint64(16))
+        if self.init_v is not None:
+            iv = (np.zeros(length, dtype=np.uint64) if init_words is None
+                  else np.asarray(init_words, dtype=np.uint64))
+            wm.set(self.init_v[0], iv & np.uint64(0xFFFF))
+            wm.set(self.init_v[1], iv >> np.uint64(16))
         addrs = np.uint64(self.offset) + np.arange(length, dtype=np.uint64)
         return wm, [addrs]
