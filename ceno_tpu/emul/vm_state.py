@@ -316,5 +316,9 @@ class VMState:
     def peek_memory(self, waddr: int) -> int:
         return self.memory.get(waddr, 0)
 
+    def peek_register(self, idx: int) -> int:
+        """Untraced register read (syscall handlers)."""
+        return self.registers[idx]
+
     def init_register_unsafe(self, idx: int, value: int) -> None:
         self.registers[idx] = value

@@ -48,6 +48,11 @@ from .insns2 import (
     construct_shift,
     construct_slt,
 )
+from .syscall_circuits import (
+    KECCAK_PSEUDO_KIND,
+    assign_keccak_dummy,
+    construct_keccak_dummy,
+)
 from .memory import (
     LOADS,
     STORES,
@@ -105,6 +110,7 @@ _BUILDERS = {
     K.DIV: (lambda: construct_div_rem(K.DIV), assign_div_rem),
     K.REM: (lambda: construct_div_rem(K.REM), assign_div_rem),
     K.ECALL: (construct_halt, assign_halt),
+    KECCAK_PSEUDO_KIND: (construct_keccak_dummy, assign_keccak_dummy),
     K.LW: (lambda: construct_load(K.LW), assign_load),
     K.LH: (lambda: construct_load(K.LH), assign_load),
     K.LHU: (lambda: construct_load(K.LHU), assign_load),
@@ -277,7 +283,10 @@ class Rv32imConfig:
         lkm = LkMultiplicity()
         buckets: Dict[int, list] = {}
         for s in steps:
-            buckets.setdefault(s.insn.kind, []).append(s)
+            kind = s.insn.kind
+            if kind == K.ECALL and s.syscall is not None:
+                kind = KECCAK_PSEUDO_KIND
+            buckets.setdefault(kind, []).append(s)
         unknown = set(buckets) - set(self.opcode_cfgs)
         assert not unknown, f"opcode circuits not yet implemented: {unknown}"
 

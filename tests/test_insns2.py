@@ -175,3 +175,33 @@ def test_mock_catches_bad_shift():
     bad[cfg.rd_limbs[0].id] = gl.full(bad[cfg.rd_limbs[0].id].lo.shape, 123)
     with pytest.raises(MockProverError):
         assert_satisfied(cfg.cs, bad, len(group))
+
+
+def test_keccak_dummy_circuit():
+    """KECCAK_PERMUTE ecall via the LargeEcallDummy-style circuit."""
+    from ceno_tpu.emul import CENO_PLATFORM, Program, VMState
+    from ceno_tpu.emul.syscalls import KECCAK_PERMUTE, keccakf
+    from ceno_tpu.zkvm.riscv.syscall_circuits import KECCAK_PSEUDO_KIND
+
+    insns = [
+        encode_rv32(K.ADDI, 0, 0, 10, 0xB000_1000),  # state ptr
+        encode_rv32(K.ADDI, 0, 0, 5, KECCAK_PERMUTE),
+        encode_rv32(K.ECALL, 0, 0, 0, 0),            # keccak
+        encode_rv32(K.ADDI, 0, 0, 5, 0),             # halt code
+        encode_rv32(K.ADDI, 0, 0, 10, 0),            # exit 0
+        encode_rv32(K.ECALL, 0, 0, 0, 0),            # halt
+    ]
+    program = Program.from_instructions(CENO_PLATFORM.pc_base(), insns)
+    vm = VMState(CENO_PLATFORM, program)
+    steps = list(vm.iter_until_halt(max_steps=10))
+    assert vm.halted
+    kec = [s for s in steps if s.insn.kind == K.ECALL and s.syscall is not None]
+    assert len(kec) == 1 and len(kec[0].syscall.mem_ops) == 50
+    # emulator applied keccak-f to the zero state
+    lane0 = keccakf([0] * 25)[0]
+    assert vm.peek_memory(0xB000_1000 >> 2) == lane0 & 0xFFFFFFFF
+
+    builder, assigner = _BUILDERS[KECCAK_PSEUDO_KIND]
+    cfg = builder()
+    wm = assigner(cfg, kec, LkMultiplicity())
+    assert_satisfied(cfg.cs, wm.to_columns(), len(kec))
