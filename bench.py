@@ -34,12 +34,16 @@ def bench_fibonacci(n=32):
         spec=spec, kinds=kinds,
     )
     assert res.verified is True and res.exit_code == fib(n)
+    from ceno_tpu.zkvm.stats import proof_size_bytes
+
     dt = res.timings["prove"]
     print(json.dumps({
         "metric": f"fibonacci_n{n}_e2e_prove",
         "value": round(res.steps / dt, 1),
         "unit": "steps/s",
         "vs_baseline": round(dt, 3),
+        "proof_bytes": proof_size_bytes(res.proof),
+        "timings": {k: round(v, 2) for k, v in res.timings.items()},
     }))
 
 

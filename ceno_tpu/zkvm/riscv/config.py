@@ -200,13 +200,19 @@ class Rv32imConfig:
     static_mem: Optional[StaticMemTable] = None
     dyn_mems: Dict[str, DynMemTable] = field(default_factory=dict)
     mem_layout: Optional[MemLayout] = None
+    extra_ranges: List[RangeTable] = field(default_factory=list)
 
     @staticmethod
     def construct(
         program_size: int,
         kinds: Sequence[int] = DEFAULT_KINDS,
         mem_layout: Optional[MemLayout] = None,
+        full_tables: bool = False,
     ) -> "Rv32imConfig":
+        """full_tables=True registers every ROM table the reference does
+        (U5/U8/U14/U16 + And/Or/Xor/Ltu/Pow, rv32im.rs) even when unused by
+        the selected circuits; the default registers only the tables the
+        selected circuits look up (smaller proofs for subsets/tests)."""
         zkvm_cs = ZKVMConstraintSystem()
         opcode_cfgs = {}
         for kind in kinds:
@@ -218,17 +224,25 @@ class Rv32imConfig:
         u16 = RangeTable.construct(ROMType.U16, 16)
         zkvm_cs.register(u16.cs)
         u8 = None
-        if _U8_KINDS & set(opcode_cfgs):
+        if full_tables or (_U8_KINDS & set(opcode_cfgs)):
             u8 = RangeTable.construct(ROMType.U8, 8)
             zkvm_cs.register(u8.cs)
+        extra_ranges = []
+        if full_tables:
+            for rom, bits in ((ROMType.U5, 5), (ROMType.U14, 14)):
+                tbl = RangeTable.construct(rom, bits)
+                extra_ranges.append(tbl)
+                zkvm_cs.register(tbl.cs)
         ops_tables = {}
-        for kind, roms in _OPS_TABLES_OF.items():
-            if kind in opcode_cfgs:
-                for rom in roms:
-                    if rom not in ops_tables:
-                        tbl = OpsTable.construct(rom)
-                        ops_tables[rom] = tbl
-                        zkvm_cs.register(tbl.cs)
+        wanted = {rom for kind, roms in _OPS_TABLES_OF.items()
+                  if kind in opcode_cfgs for rom in roms}
+        if full_tables:
+            wanted |= {ROMType.And, ROMType.Or, ROMType.Xor, ROMType.Ltu,
+                       ROMType.Pow}
+        for rom in sorted(wanted):
+            tbl = OpsTable.construct(rom)
+            ops_tables[rom] = tbl
+            zkvm_cs.register(tbl.cs)
         prog = ProgramTable.construct(program_size)
         zkvm_cs.register(prog.cs)
         reg = RegTable.construct()
@@ -251,7 +265,7 @@ class Rv32imConfig:
         zkvm_cs.initial_global_state_expr = init_gs
         zkvm_cs.finalize_global_state_expr = fin_gs
         return Rv32imConfig(zkvm_cs, opcode_cfgs, u16, ops_tables, prog, reg,
-                            u8, static_mem, dyn_mems, mem_layout)
+                            u8, static_mem, dyn_mems, mem_layout, extra_ranges)
 
     def generate_fixed_traces(self, program, reg_init: np.ndarray) -> Dict[str, List[Gl]]:
         from ...field import gl
@@ -266,6 +280,8 @@ class Rv32imConfig:
         }
         if self.u8_table is not None:
             out["RANGE_U8"] = cols(self.u8_table.fixed_trace())
+        for tbl in self.extra_ranges:
+            out[tbl.cs.name] = cols(tbl.fixed_trace())
         for tbl in self.ops_tables.values():
             out[tbl.cs.name] = cols(tbl.fixed_trace())
         if self.static_mem is not None:
@@ -329,6 +345,9 @@ class Rv32imConfig:
         if self.u8_table is not None:
             witnesses["RANGE_U8"] = self.u8_table.assign(lkm).to_columns()
             num_instances["RANGE_U8"] = self.u8_table.table_len
+        for tbl in self.extra_ranges:
+            witnesses[tbl.cs.name] = tbl.assign(lkm).to_columns()
+            num_instances[tbl.cs.name] = tbl.table_len
         for tbl in self.ops_tables.values():
             witnesses[tbl.cs.name] = tbl.assign(lkm).to_columns()
             num_instances[tbl.cs.name] = tbl.table_len
