@@ -52,13 +52,20 @@ def _pair_columns(mat: Gl) -> Tuple[Gl, Gl]:
 
 
 def hash_leaf_layer(polys: List) -> Gl:
-    """Bottom digest layer (4, n/2) from m leaf vectors of length n."""
+    """Bottom digest layer (4, n/2) from m leaf vectors of length n.
+
+    A single-leaf tree (n == 1, e.g. a 1-instance circuit's trivial
+    commitment) has no pair: the layer is hash_or_noop of the one leaf."""
     mats = [to_base_matrix(p)[0] for p in polys]
     if len(mats) == 1:
+        if mats[0].lo.shape[1] == 1:
+            return poseidon.hash_or_noop(mats[0])
         even, odd = _pair_columns(mats[0])
         # hash_or_noop(leaf[2i] || leaf[2i+1]) over base elements
         return poseidon.hash_or_noop(gl.concat([even, odd], axis=0))
     full = gl.concat(mats, axis=0)  # (sum_k, n)
+    if full.lo.shape[1] == 1:
+        return poseidon.hash_or_noop(full)
     even, odd = _pair_columns(full)
     return poseidon.two_to_one(poseidon.hash_or_noop(even), poseidon.hash_or_noop(odd))
 
@@ -122,7 +129,7 @@ class MerkleTree:
             if isinstance(polys[0], Gl)
             else polys[0].c0.lo.shape[-1]
         )
-        assert n & (n - 1) == 0 and n >= 2, "leaf count must be a power of two >= 2"
+        assert n & (n - 1) == 0 and n >= 1, "leaf count must be a power of two"
         self.num_leaves = n
         self.inner = build_layers(self.polys) if _layers is None else _layers
 

@@ -145,6 +145,9 @@ class ConstraintSystem:
         e = rlc_chip_record([Constant(rom_type)] + [to_expr(i) for i in items])
         assert e.degree() == 1, "lk_record must be linear"
         self.lk_expressions.append(e)
+        if not hasattr(self, "lk_raw"):
+            self.lk_raw = []
+        self.lk_raw.append((rom_type, [to_expr(i) for i in items]))
 
     def lk_table_record(
         self, rom_type: int, table_len: int, items: List[Expr], multiplicity: Expr,
@@ -155,6 +158,9 @@ class ConstraintSystem:
         self.lk_table_expressions.append(
             LogupTableExpression(multiplicity, e, table_len)
         )
+        if not hasattr(self, "lk_table_raw"):
+            self.lk_table_raw = []
+        self.lk_table_raw.append((rom_type, [to_expr(i) for i in items], multiplicity))
 
     def r_table_record(
         self, items: List[Expr], spec: SetTableSpec, name: str = "r_table"

@@ -31,7 +31,9 @@ def ceil_log2(x: int) -> int:
 
 
 def next_pow2_instance_padding(n: int) -> int:
-    return 1 << ceil_log2(max(n, 1)) if n > 1 else 1
+    """Minimum 2 (utils.rs:187-189): the NUM_FANIN=2 tower interleave always
+    introduces an instance axis of at least one bit."""
+    return max(2, 1 << ceil_log2(max(n, 1)))
 
 
 def get_challenge_pows(n: int, t: tr.Transcript) -> List[Gl2]:

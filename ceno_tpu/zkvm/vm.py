@@ -211,12 +211,12 @@ def verify_proof(
         ok = ok & out.ok
 
         num_lks = len(cs.lk_expressions)
-        pad_lks = next_pow2_instance_padding(num_lks) - num_lks
+        # lookup slots pad to 1<<ceil_log2(k) — no min-2 (that floor applies
+        # to the instance axis only; verifier.rs:162-221)
+        k_pad = 1 << (num_lks - 1).bit_length() if num_lks > 1 else 1
+        pad_lks = k_pad - num_lks
         pad_inst = next_pow2_instance_padding(p.num_instances) - p.num_instances
-        dummy_multiplicity += (
-            pad_lks * p.num_instances
-            + next_pow2_instance_padding(num_lks) * pad_inst
-        )
+        dummy_multiplicity += pad_lks * p.num_instances + k_pad * pad_inst
 
         prod_r = gl2.mul(prod_r, gl2.mul(p.record_r_out_evals[0], p.record_r_out_evals[1]))
         prod_w = gl2.mul(prod_w, gl2.mul(p.record_w_out_evals[0], p.record_w_out_evals[1]))

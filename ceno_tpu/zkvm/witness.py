@@ -55,7 +55,9 @@ class WitnessMatrix:
 
     def __init__(self, num_cols: int, num_instances: int, padding: str = "default"):
         self.num_instances = num_instances
-        n = max(1, 1 << (num_instances - 1).bit_length()) if num_instances > 1 else 1
+        # min 2: single-instance circuits still get a 1-bit instance axis
+        # (reference next_pow2_instance_padding, utils.rs:187-189)
+        n = max(2, 1 << (num_instances - 1).bit_length()) if num_instances > 1 else 2
         self.padded = n
         self.data = np.zeros((num_cols, n), dtype=np.uint64)
         self.padding = padding
