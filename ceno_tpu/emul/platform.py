@@ -67,3 +67,58 @@ class Platform:
 
 
 CENO_PLATFORM = Platform()
+
+# SP1-compatible preset (e2e.rs:176-184): the stack section is not in the
+# ELF headers, so the stack-top constant is repeated here; ecalls other than
+# HALT/KECCAK become no-ops.
+SP1_PLATFORM = Platform(stack=(0x0020_0400, 0x0020_0400), unsafe_ecall_nop=True)
+
+PRESETS = {"ceno": CENO_PLATFORM, "sp1": SP1_PLATFORM}
+
+
+def setup_platform(
+    preset,
+    program,
+    stack_size: int = 32768,
+    heap_size: int = 2 * 1024 * 1024,
+    pub_io_size: int = 64,
+) -> Platform:
+    """Derive the concrete platform from a preset + the program image +
+    declared stack/heap/pub-io sizes ONLY (no execution involved), mirroring
+    /root/reference/ceno_zkvm/src/e2e.rs:169-212 `setup_platform`:
+
+    * stack  = [preset.stack_end - stack_size, preset.stack_end)
+    * heap   = [max(image)+4, +heap_size), then extended so that
+      |prog_data| + |stack| + |heap| is a power of two (MemPadder analog)
+    * rom    = [base, base + 4*len(instructions))
+    * public_io sized to the next power of two of pub_io_size
+
+    Sizes are in bytes and must be word multiples.  The resulting static
+    memory layout (program data + stack + heap) is a pure function of
+    (program, sizes), so the verifying key does not depend on any run.
+    """
+    base = preset if isinstance(preset, Platform) else PRESETS[preset]
+    for sz in (stack_size, heap_size):
+        assert sz % WORD_SIZE == 0, "sizes must be word multiples"
+    prog_data = {a & ~0x3 for a in program.image}
+    stack = (base.stack[1] - stack_size, base.stack[1])
+    # image-less (synthesized) programs fall back to the preset's heap start
+    # so the heap cannot collide with the pub-io/hints windows
+    heap_start = (max(program.image) + WORD_SIZE) if program.image else base.heap[0]
+    heap_end = heap_start + heap_size
+    mem_words = (len(prog_data) + (stack[1] - stack[0]) // WORD_SIZE
+                 + (heap_end - heap_start) // WORD_SIZE)
+    pad_words = (1 << max(0, (mem_words - 1).bit_length())) - mem_words
+    heap_end += pad_words * WORD_SIZE
+    assert heap_end <= 0xFFFF_FFFF, "not enough space for padding; reduce heap"
+    pub_io_bytes = 1 << max(2, (pub_io_size - 1).bit_length() if pub_io_size > 1 else 2)
+    return Platform(
+        rom=(program.base_address,
+             program.base_address + WORD_SIZE * len(program.instructions)),
+        prog_data=prog_data,
+        stack=stack,
+        heap=(heap_start, heap_end),
+        public_io=(base.public_io[0], base.public_io[0] + pub_io_bytes),
+        hints=base.hints,
+        unsafe_ecall_nop=base.unsafe_ecall_nop,
+    )

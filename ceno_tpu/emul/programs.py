@@ -48,7 +48,8 @@ def fib(n: int) -> int:
 def memory_workout_program(platform: Platform = CENO_PLATFORM) -> Program:
     """Touches all load/store widths in the stack region, halts with a
     checksum in x10 (host test fixture, ceno_rt_mem analog)."""
-    base_hi = 0xB0001  # lui-style: ADDI wide imm (LUI transpiles to ADDI)
+    base_hi = 0xBFFFF  # lui-style: ADDI wide imm (LUI transpiles to ADDI);
+    # inside the default 32 KiB derived stack window [0xBFFF_8000, 0xC000_0000)
     insns = [
         encode_rv32(K.ADDI, 0, 0, 20, base_hi << 12),   # x20 = 0xB0001000
         encode_rv32(K.ADDI, 0, 0, 2, 0x123),
@@ -59,6 +60,21 @@ def memory_workout_program(platform: Platform = CENO_PLATFORM) -> Program:
         encode_rv32(K.LHU, 20, 0, 4, 4),
         encode_rv32(K.LBU, 20, 0, 6, 6),  # not x5: it must stay ECALL_HALT
         encode_rv32(K.ADD, 4, 6, 10, 0),                # checksum
+        encode_rv32(K.ECALL, 0, 0, 0, 0),
+    ]
+    return Program.from_instructions(platform.pc_base(), insns)
+
+
+def pubio_sum_program(platform: Platform = CENO_PLATFORM) -> Program:
+    """Reads two words from the public-io window, halts with their sum —
+    the PubIOTable fixture (tables/ram.rs:97-113 PubIOCircuit): the verifier
+    binds the input by evaluating the raw_pi MLE itself."""
+    io_base = platform.public_io[0]
+    insns = [
+        encode_rv32(K.ADDI, 0, 0, 20, io_base),  # x20 = &public_io (wide imm)
+        encode_rv32(K.LW, 20, 0, 1, 0),          # x1 = io[0]
+        encode_rv32(K.LW, 20, 0, 2, 4),          # x2 = io[1]
+        encode_rv32(K.ADD, 1, 2, 10, 0),         # exit code = x1 + x2
         encode_rv32(K.ECALL, 0, 0, 0, 0),
     ]
     return Program.from_instructions(platform.pc_base(), insns)

@@ -1,6 +1,6 @@
 """Poseidon Merkle trees over field-element leaf matrices, TPU-native.
 
-Structure matches the reference exactly (/root/reference/mpcs/src/util/
+Tree structure follows the reference (/root/reference/mpcs/src/util/
 merkle_tree.rs:256-330 `merkelize` and util/hash.rs:20-49):
 
 * leaves are m parallel vectors (polynomials) of n field elements each

@@ -44,6 +44,12 @@ class CenoStdin:
             out.append(b"\x00" * (-len(item) % 4))
         return b"".join(out)
 
+    @staticmethod
+    def from_raw(data: bytes) -> "RawHints":
+        """bin/e2e.rs --hints: a raw file mapped as a memory segment,
+        zero-padded to the next power-of-two size."""
+        return RawHints(data)
+
     def memory_image(self, platform: Platform = CENO_PLATFORM) -> dict:
         """waddr -> word image of the serialized buffer in the hints region."""
         blob = self.finalise()
@@ -53,6 +59,24 @@ class CenoStdin:
             word = int.from_bytes(blob[i : i + 4].ljust(4, b"\x00"), "little")
             image[(base + i) >> 2] = word
         return image
+
+
+class RawHints:
+    """A raw byte blob mapped into the hints segment, zero-padded to the
+    next power-of-two word count (bin/e2e.rs --hints semantics)."""
+
+    def __init__(self, data: bytes):
+        self.data = bytes(data)
+
+    def memory_image(self, platform: Platform = CENO_PLATFORM) -> dict:
+        n_words = max(1, (len(self.data) + 3) // 4)
+        n_words = 1 << (n_words - 1).bit_length()
+        blob = self.data.ljust(4 * n_words, b"\x00")
+        base = platform.hints[0]
+        return {
+            (base + i) >> 2: int.from_bytes(blob[i : i + 4], "little")
+            for i in range(0, len(blob), 4)
+        }
 
 
 def read_all_messages(vm: VMState) -> List[bytes]:

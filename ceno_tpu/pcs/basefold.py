@@ -81,12 +81,37 @@ class QueryOpens(NamedTuple):
     oracle_paths: List[Gl]
 
 
+class Evaluation(NamedTuple):
+    """One claim poly[i](points[j]) = value (mpcs/src/lib.rs:277-300)."""
+
+    poly: int
+    point: int
+    value: Gl2
+
+
+class CommQueryOpen(NamedTuple):
+    """One commitment's codeword pair + Merkle path at its join level."""
+
+    left: object  # (q,) Gl or Gl2
+    right: object
+    paths: Gl  # (h-1, 4, q)
+
+
+class BatchedQueryOpens(NamedTuple):
+    comm_opens: List[CommQueryOpen]  # per commitment, at index >> delta_c
+    oracle_vals: List[Tuple[Gl2, Gl2]]  # per oracle tree (pre-merge values)
+    oracle_paths: List[Gl]
+
+
 class BasefoldProof(NamedTuple):
     sumcheck_messages: List[Gl2]  # per round: (3,) coefficient-form
     roots: List[Gl]  # num_rounds-1 digests
     final_message: Optional[Gl2]  # (2^basecode,) little-endian evals
     query_opens: Optional[QueryOpens]
     trivial_evals: Optional[List]  # full bh evals for trivial commitments
+    # batch_open extras (None on the single/simple paths):
+    sumcheck_proof: object = None  # reduction SumcheckProof (batch_open)
+    batched_opens: Optional[BatchedQueryOpens] = None
 
 
 class Basefold:
@@ -255,6 +280,448 @@ class Basefold:
         )
 
         return BasefoldProof(list(msgs), list(roots), final_message, opens, None)
+
+    def open(
+        self,
+        cww: BasefoldCommitmentWithWitness,
+        point: List[Gl2],
+        eval_: Gl2,
+        t: tr.Transcript,
+    ) -> BasefoldProof:
+        """Single-poly single-point open (mpcs/src/lib.rs:165, basefold.rs:467).
+
+        Identical protocol to simple_batch with batch size 1: with one poly
+        the batch-coefficient phase samples zero challenges and the RLC is
+        the identity, which is exactly the reference's single commit_phase."""
+        assert cww.num_polys == 1
+        return self.simple_batch_open(cww, point, [eval_], t)
+
+    def verify(
+        self,
+        comm: BasefoldCommitment,
+        point: List[Gl2],
+        eval_: Gl2,
+        proof: BasefoldProof,
+        t: tr.Transcript,
+    ):
+        assert comm.num_polys == 1
+        return self.simple_batch_verify(comm, point, [eval_], proof, t)
+
+    # -- batch open (multi-commitment, multi-point) --------------------------
+
+    def batch_open(
+        self,
+        cwws: List[BasefoldCommitmentWithWitness],
+        points: List[List[Gl2]],
+        evals: List[Evaluation],
+        t: tr.Transcript,
+    ) -> BasefoldProof:
+        """Open several (single-poly) commitments of possibly different sizes
+        at several points (basefold.rs:547-762 batch_open).
+
+        Protocol:
+        1. sample ``batch coeffs`` t, set eq_xt = eq(X, t);
+        2. reduce all claims to one point with a devirgo sumcheck over
+           Sum_p eq(X, point_p) * merged_p where merged_p is the eq_xt-RLC of
+           the polys opened at point_p (this build's sumcheck replaces the
+           reference's classic coefficient-form sumcheck
+           mpcs/src/sum_check/classic.rs:222 — a documented deviation);
+        3. run the batched FRI commit phase (commit_phase.rs:179): the
+           running oracle starts as the RLC of the full-size codewords and
+           each fold merges in codewords whose size now matches; each round's
+           Merkle tree commits the PRE-merge folded oracle;
+        4. query phase opens every commitment at its own join level plus the
+           per-round oracles (query_phase.rs:67 batch_prover_query_phase).
+        """
+        from ..utils import cached_jit
+        from ..mle import mle as mle_mod
+        from ..sumcheck import prover as sc_prover
+        from ..sumcheck.virtual_poly import VirtualPoly
+
+        nvs = [c.num_vars for c in cwws]
+        n = max(len(p) for p in points)
+        assert n == max(nvs)
+        assert n <= self.max_num_vars
+        num_rounds = n - self.spec.basecode_msg_size_log
+        assert num_rounds >= 1
+        for c in cwws:
+            assert c.num_polys == 1 and not c.trivial
+            assert c.num_vars > self.spec.basecode_msg_size_log, (
+                "batch_open requires every codeword to join before the final "
+                "round; commit polys of <= basecode vars trivially instead"
+            )
+        for e in evals:
+            assert cwws[e.poly].num_vars == len(points[e.point]), (
+                "each poly must be opened at a point of its own num_vars"
+            )
+
+        m = len(evals)
+        eq_xt = _batch_coeffs(t, m)
+
+        # ---- step 2: reduction sumcheck ---------------------------------
+        sig = (tuple(nvs), tuple(len(p) for p in points),
+               tuple(e.poly for e in evals), tuple(e.point for e in evals),
+               self.spec, self.max_num_vars)
+
+        def reduce_builder():
+            def run(bhs, pts, vals, coeffs):
+                nat = [ntt.bitrev(fops.to_ext(b[0])) for b in bhs]
+                merged = []
+                for pi, pt in enumerate(pts):
+                    acc = None
+                    for i, e in enumerate(evals):
+                        if e.point != pi:
+                            continue
+                        term = gl2.mul(nat[e.poly],
+                                       gl2.broadcast_to(coeffs[i], nat[e.poly].shape))
+                        acc = term if acc is None else gl2.add(acc, term)
+                    assert acc is not None, "every point must be used"
+                    merged.append(acc)
+                eqs = [mle_mod.eq_table(list(pt)) for pt in pts]
+                target = gl2.zeros(())
+                for i, e in enumerate(evals):
+                    scale = gl2.const(1 << (n - len(pts[e.point])))
+                    target = gl2.add(
+                        target, gl2.mul(gl2.mul(vals[i], scale), coeffs[i])
+                    )
+                return merged, eqs, target
+
+            return run
+
+        merged, eqs, target = cached_jit(("bf_batch_reduce",) + sig, reduce_builder)(
+            [c.bh_evals for c in cwws], [list(p) for p in points],
+            [e.value for e in evals], eq_xt,
+        )
+
+        vp = VirtualPoly(n)
+        for eq_p, m_p in zip(eqs, merged):
+            vp.add_mle_list([eq_p, m_p])
+        scproof, _final_evals, ts = sc_prover.prove(vp, t.ts)
+        t.ts = ts
+        challenges = list(scproof.point)
+
+        # ---- step 3: FRI coefficients per commitment --------------------
+        def coeff_builder():
+            def run(chals, coeffs):
+                eq_xy = [
+                    mle_mod.eq_eval(chals[: len(pt)], list(pt)) for pt in points
+                ]
+                out = [gl2.zeros(()) for _ in cwws]
+                for i, e in enumerate(evals):
+                    out[e.poly] = gl2.add(
+                        out[e.poly], gl2.mul(eq_xy[e.point], coeffs[i])
+                    )
+                return out
+
+            return run
+
+        fri_coeffs = cached_jit(("bf_batch_coeff",) + sig, coeff_builder)(
+            challenges, eq_xt
+        )
+
+        # ---- batched FRI commit phase -----------------------------------
+        num_rounds = n - self.spec.basecode_msg_size_log
+        fold_tables = [
+            self.code.fold_table(n + self.spec.rate_log - i - 1)
+            for i in range(num_rounds)
+        ]
+        joins = {}  # round delta -> list of comm indices joining there
+        for ci, nv in enumerate(nvs):
+            joins.setdefault(n - nv, []).append(ci)
+
+        def prep_builder():
+            def run(bhs, cws, fcoeffs, chals):
+                running = None
+                for ci, b in enumerate(bhs):
+                    nat = ntt.bitrev(fops.to_ext(b[0]))
+                    ext = _tile(nat, 1 << (n - nvs[ci]))
+                    term = gl2.mul(ext, gl2.broadcast_to(fcoeffs[ci], ext.shape))
+                    running = term if running is None else gl2.add(running, term)
+                running = ntt.bitrev(running)
+                oracle = None
+                for ci in joins.get(0, []):
+                    term = gl2.mul(
+                        fops.to_ext(cws[ci][0]),
+                        gl2.broadcast_to(fcoeffs[ci], (cws[ci][0].shape[-1],)),
+                    )
+                    oracle = term if oracle is None else gl2.add(oracle, term)
+                if oracle is None:
+                    oracle = gl2.zeros((1 << (n + self.spec.rate_log),))
+                eq = ntt.bitrev(mle_mod.eq_table(chals))
+                eq = _interp_pairs(eq)
+                running = _interp_pairs(running)
+                msg = _pi_coeffs(running, eq)
+                return oracle, eq, running, msg
+
+            return run
+
+        oracle, eq, running, msg = cached_jit(("bf_batch_prep",) + sig, prep_builder)(
+            [c.bh_evals for c in cwws], [c.tree.polys for c in cwws],
+            fri_coeffs, challenges,
+        )
+
+        msgs, roots, oracles_layers = [], [], []
+        final_message = None
+        for i in range(num_rounds):
+            t.append_field_element_exts(msg)
+            msgs.append(msg)
+            r = t.get_and_append_challenge(b"commit round")
+            x0, w = fold_tables[i]
+            oracle = _fold_codeword(oracle, r, x0, w)
+            if i < num_rounds - 1:
+                eq, running, msg = _challenge_round(eq, running, r)
+                layers = _build_layers_jit([oracle])
+                oracles_layers.append((oracle, layers))
+                root = layers[-1][:, 0]
+                _write_digest(root, t)
+                roots.append(root)
+                # merge codewords whose size now matches (pre-merge tree!)
+                join_cis = joins.get(i + 1, [])
+                if join_cis:
+                    oracle = _merge_codewords(
+                        oracle, [cwws[ci].tree.polys[0] for ci in join_cis],
+                        [fri_coeffs[ci] for ci in join_cis],
+                    )
+            else:
+                final_message = _final_fold_jit(running, r)
+                t.append_field_element_exts(final_message)
+
+        # ---- query phase ------------------------------------------------
+        q = self.spec.num_queries
+        codeword_size = 1 << (n + self.spec.rate_log)
+        indices = _sample_query_indices(t, q, codeword_size)
+        idx_arr = jnp.asarray(indices, dtype=jnp.int32)
+
+        def query_builder():
+            def run(trees_polys, trees_inner, oracles, idx):
+                comm_opens = []
+                for ci in range(len(cwws)):
+                    lvl_idx = idx >> (n - nvs[ci])
+                    pairs = merkle.leaf_pairs(trees_polys[ci], lvl_idx)
+                    comm_opens.append(CommQueryOpen(
+                        pairs[0][0], pairs[0][1],
+                        merkle.extract_paths(trees_inner[ci], lvl_idx),
+                    ))
+                oracle_vals, oracle_paths = [], []
+                cur = idx >> 1
+                for oracle_, layers in oracles:
+                    pr = merkle.leaf_pairs([oracle_], cur)
+                    oracle_vals.append((pr[0][0], pr[0][1]))
+                    oracle_paths.append(merkle.extract_paths(layers, cur))
+                    cur = cur >> 1
+                return BatchedQueryOpens(comm_opens, oracle_vals, oracle_paths)
+
+            return run
+
+        opens = cached_jit(("bf_batch_query",) + sig + (q,), query_builder)(
+            [c.tree.polys for c in cwws], [c.tree.inner for c in cwws],
+            oracles_layers, idx_arr,
+        )
+
+        return BasefoldProof(
+            list(msgs), list(roots), final_message, None, None, scproof, opens
+        )
+
+    def batch_verify(
+        self,
+        comms: List[BasefoldCommitment],
+        points: List[List[Gl2]],
+        evals: List[Evaluation],
+        proof: BasefoldProof,
+        t: tr.Transcript,
+    ):
+        """Returns on-device ok (basefold.rs:941-1072 batch_verify)."""
+        from ..utils import cached_jit
+        from ..mle import mle as mle_mod
+        from ..sumcheck import verifier as sc_verifier
+
+        nvs = [c.num_vars for c in comms]
+        n = max(len(p) for p in points)
+        assert n == max(nvs)
+        num_rounds = n - self.spec.basecode_msg_size_log
+        for e in evals:
+            assert comms[e.poly].num_vars == len(points[e.point])
+        for c in comms:
+            assert c.num_polys == 1
+            assert c.num_vars > self.spec.basecode_msg_size_log
+
+        m = len(evals)
+        eq_xt = _batch_coeffs(t, m)
+
+        sig = (tuple(nvs), tuple(len(p) for p in points),
+               tuple(e.poly for e in evals), tuple(e.point for e in evals),
+               self.spec, self.max_num_vars)
+
+        def target_builder():
+            def run(vals, coeffs):
+                target = gl2.zeros(())
+                for i, e in enumerate(evals):
+                    scale = gl2.const(1 << (n - len(points[e.point])))
+                    target = gl2.add(
+                        target, gl2.mul(gl2.mul(vals[i], scale), coeffs[i])
+                    )
+                return target
+
+            return run
+
+        target = cached_jit(("bf_batch_target",) + sig, target_builder)(
+            [e.value for e in evals], eq_xt
+        )
+
+        subclaim, ts = sc_verifier.verify(target, proof.sumcheck_proof, n, 2, t.ts)
+        t.ts = ts
+        challenges = list(subclaim.point)
+
+        def coeff_builder():
+            def run(chals, coeffs):
+                eq_xy = [
+                    mle_mod.eq_eval(chals[: len(pt)], list(pt)) for pt in points
+                ]
+                out = [gl2.zeros(()) for _ in comms]
+                for i, e in enumerate(evals):
+                    out[e.poly] = gl2.add(
+                        out[e.poly], gl2.mul(eq_xy[e.point], coeffs[i])
+                    )
+                return out
+
+            return run
+
+        fri_coeffs = cached_jit(("bf_batch_coeff",) + sig, coeff_builder)(
+            challenges, eq_xt
+        )
+
+        # replay the FRI-round absorbs
+        def replay_builder():
+            def run(msgs, roots, final_message, ts_):
+                t2 = tr.Transcript.__new__(tr.Transcript)
+                t2.ts = ts_
+                t2.field_appended_num = 0
+                fold_challenges = []
+                for i in range(num_rounds):
+                    t2.append_field_element_exts(msgs[i])
+                    fold_challenges.append(
+                        t2.get_and_append_challenge(b"commit round")
+                    )
+                    if i < num_rounds - 1:
+                        _write_digest(roots[i], t2)
+                t2.append_field_element_exts(final_message)
+                return fold_challenges, t2.ts
+
+            return run
+
+        fold_challenges, ts = cached_jit(("bf_batch_replay",) + sig, replay_builder)(
+            list(proof.sumcheck_messages), list(proof.roots),
+            proof.final_message, t.ts,
+        )
+        t.ts = ts
+
+        q = self.spec.num_queries
+        codeword_size = 1 << (n + self.spec.rate_log)
+        indices = _sample_query_indices(t, q, codeword_size)
+        idx_arr = jnp.asarray(indices, dtype=jnp.int32)
+
+        fold_tables = [
+            self.code.fold_table(n + self.spec.rate_log - i - 1)
+            for i in range(num_rounds)
+        ]
+        joins = {}
+        for ci, nv in enumerate(nvs):
+            joins.setdefault(n - nv, []).append(ci)
+
+        def check_builder():
+            def run(roots_c, opens, msgs, roots, final_message, fcoeffs,
+                    fchal, sc_expected, sc_ok, pt, tables, idx):
+                fm = ntt.bitrev(final_message)
+                fm = ntt.interpolate_over_hypercube(fm)
+                final_codeword = ntt.bitrev(self.code.encode(fm, use_jit=False))
+
+                ok = jnp.asarray(sc_ok)
+                # per-commitment Merkle checks at the join level
+                for ci, co in enumerate(opens.comm_opens):
+                    lvl_idx = idx >> (n - nvs[ci])
+                    bottom = merkle.leaf_pair_digest(
+                        _to_base_rows(co.left), _to_base_rows(co.right), 1
+                    )
+                    ok = ok & merkle.verify_paths(
+                        roots_c[ci], lvl_idx, bottom, co.paths
+                    )
+                cur = idx >> 1
+                for (lv, rv), paths, rt in zip(
+                    opens.oracle_vals, opens.oracle_paths, roots
+                ):
+                    bottom = merkle.leaf_pair_digest(
+                        _to_base_rows(lv), _to_base_rows(rv), 1
+                    )
+                    ok = ok & merkle.verify_paths(rt, cur, bottom, paths)
+                    cur = cur >> 1
+
+                # fold replay with per-round joins
+                def join_vals(round_delta, side):
+                    acc = None
+                    for ci in joins.get(round_delta, []):
+                        co = opens.comm_opens[ci]
+                        v = fops.to_ext(co.left if side == 0 else co.right)
+                        term = gl2.mul(v, gl2.broadcast_to(fcoeffs[ci], v.shape))
+                        acc = term if acc is None else gl2.add(acc, term)
+                    return acc
+
+                curr_left = join_vals(0, 0)
+                curr_right = join_vals(0, 1)
+                zero_q = gl2.zeros((idx.shape[0],))
+                if curr_left is None:
+                    curr_left, curr_right = zero_q, zero_q
+                index = idx
+                for i in range(num_rounds):
+                    x0_t, w_t = tables[i]
+                    x0 = gl.take(x0_t, index >> 1)
+                    w = gl.take(w_t, index >> 1)
+                    r = fchal[i]
+                    res = _interp2(curr_left, curr_right, x0, w, r)
+                    next_index = index >> 1
+                    if i < num_rounds - 1:
+                        lv, rv = opens.oracle_vals[i]
+                        nxt = fops.select(
+                            (next_index & 1) == 0,
+                            fops.to_ext(lv), fops.to_ext(rv),
+                        )
+                        ok = ok & jnp.all(gl2.eq(res, nxt))
+                        curr_left, curr_right = fops.to_ext(lv), fops.to_ext(rv)
+                        jl, jr = join_vals(i + 1, 0), join_vals(i + 1, 1)
+                        if jl is not None:
+                            curr_left = gl2.add(curr_left, jl)
+                            curr_right = gl2.add(curr_right, jr)
+                    else:
+                        nxt = fops.take(final_codeword, next_index, axis=-1)
+                        ok = ok & jnp.all(gl2.eq(res, nxt))
+                    index = next_index
+
+                # FRI sumcheck chain: starts at the reduction subclaim value
+                ok = ok & jnp.all(gl2.eq(sc_expected, _deg2_zero_plus_one(msgs[0])))
+                for i in range(num_rounds - 1):
+                    lhs = _deg2_eval(msgs[i], fchal[i])
+                    rhs = _deg2_zero_plus_one(msgs[i + 1])
+                    ok = ok & jnp.all(gl2.eq(lhs, rhs))
+                lhs = _deg2_eval(msgs[-1], fchal[-1])
+                coeff = mle_mod.eq_eval(
+                    pt[n - num_rounds:], list(reversed(fchal))
+                )
+                partial_eq = mle_mod.eq_table(pt[: n - num_rounds])
+                partial_eq = gl2.mul(
+                    partial_eq, gl2.broadcast_to(coeff, partial_eq.shape)
+                )
+                rhs = fops.sum_reduce(gl2.mul(final_message, partial_eq))
+                ok = ok & jnp.all(gl2.eq(lhs, rhs))
+                return ok
+
+            return run
+
+        return cached_jit(("bf_batch_check",) + sig + (q,), check_builder)(
+            [c.root for c in comms], proof.batched_opens,
+            list(proof.sumcheck_messages), list(proof.roots),
+            proof.final_message, fri_coeffs, fold_challenges,
+            subclaim.expected_evaluation, subclaim.ok, challenges,
+            fold_tables, idx_arr,
+        )
 
     # -- verify ----------------------------------------------------------------
 
@@ -456,6 +923,39 @@ def _rlc_rows(mat, coeffs: Gl2) -> Gl2:
 def _to_base_rows(v) -> Gl:
     """Leaf columns for hashing: (rows, q) base matrix."""
     return merkle.to_base_matrix(v)[0]
+
+
+def _tile(v, times: int):
+    """Natural-order extension by high-var repetition: out[x] = v[x mod L]."""
+    if times == 1:
+        return v
+
+    def t2(x):
+        return jnp.tile(x, times)
+
+    if isinstance(v, Gl):
+        return Gl(t2(v.lo), t2(v.hi))
+    return Gl2(
+        Gl(t2(v.c0.lo), t2(v.c0.hi)), Gl(t2(v.c1.lo), t2(v.c1.hi))
+    )
+
+
+_MERGE_KERNELS = {}
+
+
+def _merge_codewords(oracle: Gl2, codewords: List, coeffs: List[Gl2]) -> Gl2:
+    """oracle += sum_i coeffs[i] * codewords[i] (commit_phase.rs:288-300)."""
+    key = (oracle.c0.lo.shape, tuple(isinstance(c, Gl2) for c in codewords))
+    if key not in _MERGE_KERNELS:
+
+        def go(o, cws, cs):
+            for cw, c in zip(cws, cs):
+                v = fops.to_ext(cw)
+                o = gl2.add(o, gl2.mul(v, gl2.broadcast_to(c, v.shape)))
+            return o
+
+        _MERGE_KERNELS[key] = jax.jit(go)
+    return _MERGE_KERNELS[key](oracle, codewords, coeffs)
 
 
 def _interp_pairs(v):

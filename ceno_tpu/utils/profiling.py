@@ -79,3 +79,33 @@ def profile(max_level: int = 3):
         yield p
     finally:
         Profiler._active = None
+
+
+# -- pipeline-facing API (bin/e2e.rs --profiling N analog) -------------------
+
+span = entered_span
+
+
+def enable(max_level: int = 99) -> Profiler:
+    """Install a process-global profiler; spans record from here on."""
+    Profiler._active = Profiler(max_level)
+    return Profiler._active
+
+
+def report(max_depth: int = 3) -> None:
+    """Print the installed profiler's timing tree down to max_depth."""
+    p = Profiler._active
+    if p is None:
+        return
+    p.root.elapsed = time.time() - p.root.start
+    lines = []
+
+    def walk(s: Span, depth: int):
+        if depth:
+            lines.append(f"{'  ' * (depth - 1)}{s.name}: {s.elapsed * 1e3:.1f} ms")
+        if depth < max_depth:
+            for c in s.children:
+                walk(c, depth + 1)
+
+    walk(p.root, 0)
+    print("\n".join(lines))

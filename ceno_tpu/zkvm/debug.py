@@ -95,7 +95,9 @@ def assert_satisfied_full(
         n_inst = num_instances.get(name, 0)
         is_table = bool(cs.r_table_expressions or cs.w_table_expressions
                         or cs.lk_table_expressions)
-        if n_inst == 0 and not is_table:
+        if n_inst == 0:
+            # unused opcode circuits and untouched dynamic RAM regions are
+            # skipped by the prover too (zero rows -> empty multisets)
             continue
         wits = witnesses.get(name, [])
         fx = fixed.get(name, [])

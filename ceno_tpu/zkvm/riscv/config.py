@@ -65,6 +65,7 @@ from .tables import (
     DynMemTable,
     OpsTable,
     ProgramTable,
+    PubIOTable,
     RangeTable,
     RegTable,
     StaticMemTable,
@@ -140,13 +141,20 @@ _MEM_KINDS = set(LOADS) | set(STORES)
 class MemLayout:
     """Word-address layout of the RAM tables (mmu.rs MmuConfig + MemPadder).
 
-    static_waddrs: pow2-padded program-data word addresses (fixed column);
-    dyn regions: (offset_waddr, pow2 length) per named region — addresses are
-    StructuralWitIns addr_i = offset + i, so each region must be a contiguous
-    window covering every touched word."""
+    Pure function of (program, platform) — NEVER of an execution — so keygen
+    is reproducible without running the guest and one vk serves every input
+    (e2e.rs:169-244 setup_platform/init_mem).
+
+    static_waddrs: pow2 list covering program data + stack + heap (all
+    zero/image-initialised non-volatile rows, like the reference's init_mem);
+    pub_io: (offset_waddr, pow2 len) window whose values are public instances;
+    dyn regions: (offset_waddr, pow2 max_len) per named region — addresses
+    are StructuralWitIns addr_i = offset + i evaluated succinctly by the
+    verifier; the per-run row count is the touched pow2 prefix."""
 
     static_waddrs: np.ndarray
-    dyn_regions: Dict[str, tuple]  # name -> (offset, length)
+    dyn_regions: Dict[str, tuple]  # name -> (offset, max_len)
+    pub_io: Optional[tuple] = None  # (offset, len)
 
     @staticmethod
     def minimal() -> "MemLayout":
@@ -156,36 +164,49 @@ class MemLayout:
         )
 
     @staticmethod
-    def from_execution(program, vm, platform) -> "MemLayout":
-        """Layout derived from the program image + touched addresses
-        (e2e.rs init_mem analog; offsets snap to the touched window)."""
-        img_waddrs = sorted({a >> 2 for a in program.image})
-        if not img_waddrs:
-            img_waddrs = [platform.rom[0] >> 2]
-        n = 1 << (len(img_waddrs) - 1).bit_length()
-        last = img_waddrs[-1]
-        pad = [last + i + 1 for i in range(n - len(img_waddrs))]
-        static = np.asarray(img_waddrs + pad, dtype=np.uint64)
-        static_set = set(img_waddrs + pad)
+    def from_platform(program, platform) -> "MemLayout":
+        """mmu.rs:16-113 MmuConfig + e2e.rs:214-244 init_mem: static memory
+        = program image + stack + heap windows (total is pow2 by
+        setup_platform's padding); public-io its own instance-valued table;
+        hints the one dynamic region.  Asserts the address spaces are
+        disjoint (mmu.rs:55-63)."""
+        img = np.asarray(sorted({a >> 2 for a in program.image}), dtype=np.uint64)
+        stack = np.arange(platform.stack[0] >> 2, platform.stack[1] >> 2,
+                          dtype=np.uint64)
+        heap = np.arange(platform.heap[0] >> 2, platform.heap[1] >> 2,
+                         dtype=np.uint64)
+        static = np.unique(np.concatenate([img, stack, heap]))
+        n = len(static)
+        assert n == len(img) + len(stack) + len(heap), (
+            "program image / stack / heap windows overlap"
+        )
+        assert n & (n - 1) == 0, (
+            f"static memory is {n} words — not pow2; derive the platform via "
+            "setup_platform so the heap pad makes it so"
+        )
 
-        touched = [w for w in vm.tracer.latest_accesses
-                   if w >= (0x2000_0000 >> 2) and w not in static_set]
-        regions: Dict[str, tuple] = {}
-        for name, (lo, hi) in (("STACK_MEM", platform.stack),
-                               ("HEAP_MEM", platform.heap),
-                               ("IO_MEM", platform.public_io),
-                               ("HINTS_MEM", platform.hints)):
-            ws = [w for w in touched if (lo >> 2) <= w < (hi >> 2)]
-            if name == "HEAP_MEM":
-                # heap overlaps the stack range in CENO_PLATFORM; prefer stack
-                ws = [w for w in ws
-                      if not ((platform.stack[0] >> 2) <= w < (platform.stack[1] >> 2))]
-            if not ws:
-                continue
-            off = min(ws)
-            length = 1 << (max(ws) - off).bit_length() if max(ws) > off else 1
-            regions[name] = (off, length)
-        return MemLayout(static, regions)
+        io_off = platform.public_io[0] >> 2
+        io_len = (platform.public_io[1] - platform.public_io[0]) >> 2
+        hints_off = platform.hints[0] >> 2
+        hints_cap = (platform.hints[1] - platform.hints[0]) >> 2
+
+        # address-space uniqueness (mmu.rs:55-63): window-vs-static overlap
+        # via sorted-range intersection, window-vs-window via intervals
+        def touches_static(lo, length):
+            i = np.searchsorted(static, np.uint64(lo))
+            return i < n and static[i] < np.uint64(lo + length)
+
+        assert not touches_static(io_off, io_len), "pub-io overlaps static mem"
+        assert not touches_static(hints_off, hints_cap), "hints overlap static mem"
+        assert (io_off + io_len <= hints_off or hints_off + hints_cap <= io_off), (
+            "pub-io window overlaps hints"
+        )
+
+        return MemLayout(
+            static,
+            {"HINTS_MEM": (hints_off, hints_cap)},
+            pub_io=(io_off, io_len),
+        )
 
 
 @dataclass
@@ -201,6 +222,7 @@ class Rv32imConfig:
     dyn_mems: Dict[str, DynMemTable] = field(default_factory=dict)
     mem_layout: Optional[MemLayout] = None
     extra_ranges: List[RangeTable] = field(default_factory=list)
+    pub_io_table: Optional[PubIOTable] = None
 
     @staticmethod
     def construct(
@@ -250,22 +272,30 @@ class Rv32imConfig:
 
         static_mem = None
         dyn_mems: Dict[str, DynMemTable] = {}
+        pub_io_table = None
         if _MEM_KINDS & set(opcode_cfgs):
             if mem_layout is None:
                 mem_layout = MemLayout.minimal()
             static_mem = StaticMemTable.construct(mem_layout.static_waddrs)
             zkvm_cs.register(static_mem.cs)
-            for name, (off, length) in mem_layout.dyn_regions.items():
-                dyn = DynMemTable.construct(name, off, max_len=length,
+            for name, (off, max_len) in mem_layout.dyn_regions.items():
+                dyn = DynMemTable.construct(name, off, max_len=max_len,
                                             zero_init=(name != "HINTS_MEM"))
                 dyn_mems[name] = dyn
                 zkvm_cs.register(dyn.cs)
+            if mem_layout.pub_io is not None:
+                io_off, io_len = mem_layout.pub_io
+                pub_io_table = PubIOTable.construct(
+                    np.uint64(io_off) + np.arange(io_len, dtype=np.uint64)
+                )
+                zkvm_cs.register(pub_io_table.cs)
 
         init_gs, fin_gs = global_state_exprs(reg.cs)
         zkvm_cs.initial_global_state_expr = init_gs
         zkvm_cs.finalize_global_state_expr = fin_gs
         return Rv32imConfig(zkvm_cs, opcode_cfgs, u16, ops_tables, prog, reg,
-                            u8, static_mem, dyn_mems, mem_layout, extra_ranges)
+                            u8, static_mem, dyn_mems, mem_layout, extra_ranges,
+                            pub_io_table)
 
     def generate_fixed_traces(self, program, reg_init: np.ndarray) -> Dict[str, List[Gl]]:
         from ...field import gl
@@ -290,6 +320,8 @@ class Rv32imConfig:
                 dtype=np.uint64,
             )
             out[self.static_mem.cs.name] = cols(self.static_mem.fixed_trace(init_words))
+        if self.pub_io_table is not None:
+            out[self.pub_io_table.cs.name] = cols(self.pub_io_table.fixed_trace())
         return out
 
     def assign_witnesses(self, steps, program, vm) -> tuple:
@@ -372,9 +404,33 @@ class Rv32imConfig:
             words, cyc = finals(sm.waddrs)
             witnesses[sm.cs.name] = sm.assign(words, cyc).to_columns()
             num_instances[sm.cs.name] = len(sm.waddrs)
+
+            if self.pub_io_table is not None:
+                io = self.pub_io_table
+                io_cyc = np.asarray(
+                    [accesses.get(int(w), 0) for w in io.waddrs], dtype=np.uint64
+                )
+                witnesses[io.cs.name] = io.assign(io_cyc).to_columns()
+                num_instances[io.cs.name] = len(io.waddrs)
+
             hints_image = getattr(vm, "_hints_image", {})
             for name, dyn in self.dyn_mems.items():
-                off, length = self.mem_layout.dyn_regions[name]
+                off, max_len = self.mem_layout.dyn_regions[name]
+                # per-run row count: pow2 prefix covering every touched /
+                # hint-initialised word (ram_impl.rs DynVolatileRamTable —
+                # addresses are structural so the vk pins only offset/max_len)
+                top = 0
+                for w in hints_image:
+                    if off <= w < off + max_len:
+                        top = max(top, w - off + 1)
+                for w in accesses:
+                    if off <= w < off + max_len:
+                        top = max(top, w - off + 1)
+                if top == 0:
+                    num_instances[name] = 0
+                    continue
+                length = 1 << (top - 1).bit_length()
+                assert length <= max_len
                 waddrs = np.uint64(off) + np.arange(length, dtype=np.uint64)
                 words, cyc = finals(waddrs)
                 init_words = None

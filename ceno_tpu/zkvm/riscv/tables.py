@@ -301,6 +301,52 @@ class StaticMemTable:
 
 
 @dataclass
+class PubIOTable:
+    """Public-IO RAM table (ram_impl.rs:190-300 PubIOTableConfig +
+    tables/ram.rs:97-113): non-volatile, read-only memory whose init (and
+    final) values come straight from the PUBLIC instance vectors rather than
+    a committed fixed column — so the verifier can bind the guest's public
+    input by evaluating the raw_pi MLE at the opened point itself.  Fixed
+    column = word address; witness = final access cycle.  Values are exposed
+    as two 16-bit-limb instance vectors (PV_PUBLIC_IO_LO/HI) to match this
+    build's 2-limb memory record layout (deviation from the reference's
+    1-limb MemoryExpr; see PROTOCOL.md)."""
+
+    cs: ConstraintSystem
+    addr: Fixed
+    final_cycle: WitIn
+    waddrs: np.ndarray
+
+    @staticmethod
+    def construct(waddrs: np.ndarray) -> "PubIOTable":
+        from ..vm import PV_PUBLIC_IO_HI, PV_PUBLIC_IO_LO
+
+        n = len(waddrs)
+        assert n & (n - 1) == 0, "pub-io window must be pow2 (setup_platform)"
+        cs = ConstraintSystem("PUBIO_MEM")
+        addr = cs.create_fixed("addr")
+        final_cycle = cs.create_witin("final_cycle")
+        lo = cs.query_instance(PV_PUBLIC_IO_LO)
+        hi = cs.query_instance(PV_PUBLIC_IO_HI)
+        spec = SetTableSpec(len=n)
+        cs.w_table_record(
+            [Constant(RAMType.Memory), addr, lo, hi, Constant(0)], spec
+        )
+        cs.r_table_record(
+            [Constant(RAMType.Memory), addr, lo, hi, final_cycle], spec
+        )
+        return PubIOTable(cs, addr, final_cycle, np.asarray(waddrs, dtype=np.uint64))
+
+    def fixed_trace(self) -> List[np.ndarray]:
+        return [self.waddrs]
+
+    def assign(self, final_cycles: np.ndarray) -> WitnessMatrix:
+        wm = WitnessMatrix(self.cs.num_witin, len(self.waddrs))
+        wm.set(self.final_cycle, np.asarray(final_cycles, dtype=np.uint64))
+        return wm
+
+
+@dataclass
 class DynMemTable:
     """Dynamic volatile RAM table (ram_impl.rs:306-411): the address column is
     a StructuralWitIn addr_i = offset + i (word addresses), evaluated

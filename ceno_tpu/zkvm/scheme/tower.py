@@ -1,7 +1,8 @@
 """Tower prover/verifier: layer-by-layer batched GKR over fanin-2 product and
 LogUp fractional-sum trees.
 
-Protocol matches the reference exactly:
+Protocol structure follows the reference one-to-one (bit-level transcript
+identity is out of scope — see PROTOCOL.md):
 * prover /root/reference/ceno_zkvm/src/scheme/prover.rs:1194-1342 — per round
   one batched sumcheck over all live specs (eq * f1 * f2 for products;
   eq*p1*q2 + eq*p2*q1 and eq*q1*q2 for logup), alpha batch challenge

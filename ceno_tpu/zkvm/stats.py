@@ -100,29 +100,8 @@ class TraceReport:
 
 
 def proof_size_bytes(proof) -> int:
-    """Serialized proof size (fibonacci.rs bench reports bincode len; here a
-    canonical little-endian dump of every field element: Gl = 8 bytes,
-    Gl2 = 16 bytes, plus pickle framing for the structure)."""
-    import pickle
+    """Canonical serialized proof size (fibonacci.rs:55-63 reports bincode
+    len; here the length of serialize.py's deterministic encoding)."""
+    from .serialize import proof_size_bytes as _psb
 
-    import jax
-    import numpy as np
-
-    def pull(x):
-        from ..field.gl import Gl
-        from ..field.gl2 import Gl2
-
-        if isinstance(x, Gl):
-            return ("Gl", np.asarray(jax.device_get(x.lo)).tobytes()
-                    + np.asarray(jax.device_get(x.hi)).tobytes())
-        if isinstance(x, Gl2):
-            return ("Gl2", pull(x.c0)[1] + pull(x.c1)[1])
-        if isinstance(x, (list, tuple)):
-            return [pull(v) for v in x]
-        if isinstance(x, dict):
-            return {k: pull(v) for k, v in x.items()}
-        if hasattr(x, "__dict__"):
-            return {k: pull(v) for k, v in vars(x).items()}
-        return x
-
-    return len(pickle.dumps(pull(proof)))
+    return _psb(proof)

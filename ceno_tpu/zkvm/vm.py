@@ -35,7 +35,12 @@ from .structs import ZKVMProof, ZKVMProvingKey
 
 
 class PublicValues(NamedTuple):
-    """scheme.rs:72-113; each field becomes a (constant) public polynomial."""
+    """scheme.rs:72-113; each field becomes a public polynomial.
+
+    `public_io` holds full 32-bit words; `to_vec` exposes them as two
+    16-bit-limb vectors (lo, hi) so the PubIO table's record layout matches
+    the 2-limb memory records (a documented deviation from the reference's
+    single-word MemoryExpr, see PROTOCOL.md)."""
 
     exit_code: int = 0
     init_pc: int = 0
@@ -45,6 +50,7 @@ class PublicValues(NamedTuple):
     public_io: tuple = ()
 
     def to_vec(self) -> List[List[int]]:
+        io = list(self.public_io) or [0]
         return [
             [self.exit_code & 0xFFFF],
             [(self.exit_code >> 16) & 0xFFFF],
@@ -52,7 +58,8 @@ class PublicValues(NamedTuple):
             [self.init_cycle],
             [self.end_pc],
             [self.end_cycle],
-            list(self.public_io) or [0],
+            [w & 0xFFFF for w in io],
+            [(w >> 16) & 0xFFFF for w in io],
         ]
 
 
@@ -63,7 +70,8 @@ PV_INIT_PC = 2
 PV_INIT_CYCLE = 3
 PV_END_PC = 4
 PV_END_CYCLE = 5
-PV_PUBLIC_IO = 6
+PV_PUBLIC_IO_LO = 6
+PV_PUBLIC_IO_HI = 7
 
 
 def _raw_pi_mles(raw_pi: List[List[int]]) -> List[Gl]:
@@ -97,10 +105,7 @@ def create_proof(
     _absorb_raw_pi(t, raw_pi)
     pi_mles = _raw_pi_mles(raw_pi)
     # instance scalars for opcode circuits: single-value public inputs
-    pi_scalars = [
-        gl2.from_base(m[0]) if m.lo.shape[0] == 1 else gl2.from_base(m[0])
-        for m in pi_mles
-    ]
+    pi_scalars = [gl2.from_base(m[0]) for m in pi_mles]
 
     for name in pk.sorted_names():
         cpk = pk.circuit_pks[name]
@@ -120,10 +125,13 @@ def create_proof(
     ordered = [n for n in pk.sorted_names() if is_opcode_name(n)] + [
         n for n in pk.sorted_names() if not is_opcode_name(n)
     ]
+    from ..utils.profiling import span
+
     for name in ordered:
         if num_instances.get(name, 0) == 0:
             continue
-        cww = pcs.commit(witnesses[name])
+        with span(f"commit/{name}", level=2):
+            cww = pcs.commit(witnesses[name])
         Basefold.write_commitment(cww.to_commitment(), t)
         commitments[name] = cww
 
@@ -141,17 +149,19 @@ def create_proof(
             cs.r_table_expressions or cs.w_table_expressions or cs.lk_table_expressions
         )
         if is_opcode:
-            p = create_opcode_proof(
-                name, pcs, cs, witnesses[name], commitments[name], pi_scalars,
-                num_instances[name], ft, challenges, num_shards,
-            )
+            with span(f"opcode_proof/{name}", level=2):
+                p = create_opcode_proof(
+                    name, pcs, cs, witnesses[name], commitments[name], pi_scalars,
+                    num_instances[name], ft, challenges, num_shards,
+                )
             proof.opcode_proofs[name] = (i, p)
         else:
-            p, pi_in_evals = create_table_proof(
-                name, pcs, cs, cpk.fixed_traces or [], cpk.fixed_cww,
-                witnesses[name], commitments[name], structural.get(name, []),
-                pi_scalars, pi_mles, ft, challenges, num_shards,
-            )
+            with span(f"table_proof/{name}", level=2):
+                p, pi_in_evals = create_table_proof(
+                    name, pcs, cs, cpk.fixed_traces or [], cpk.fixed_cww,
+                    witnesses[name], commitments[name], structural.get(name, []),
+                    pi_mles, pi_mles, ft, challenges, num_shards,
+                )
             proof.table_proofs[name] = (i, p)
             for idx, ev in pi_in_evals.items():
                 proof.pi_evals[idx] = ev
@@ -162,6 +172,25 @@ def _constant_pi_evals(raw_pi: List[List[int]]) -> Dict[int, Gl2]:
     return {
         i: gl2.const(vec[0]) for i, vec in enumerate(raw_pi) if len(vec) == 1
     }
+
+
+HALT_CIRCUIT_NAME = "ECALL_HALT"
+
+
+def verify_proof_halt(
+    pk_or_vk,
+    proof: ZKVMProof,
+    t: tr.Transcript,
+    does_halt: bool = True,
+) -> jnp.ndarray:
+    """verifier.rs:55-75: a halting trace must carry exactly one ECALL-HALT
+    instance; a truncated (max_steps) segment must carry none.  The count is
+    a host-side structural check; the rest verifies on-device."""
+    entry = proof.opcode_proofs.get(HALT_CIRCUIT_NAME)
+    num_halts = entry[1].num_instances if entry is not None else 0
+    if num_halts != int(does_halt):
+        return jnp.asarray(False)
+    return verify_proof(pk_or_vk, proof, t)
 
 
 def verify_proof(

@@ -1,4 +1,6 @@
 import os
+import subprocess
+import sys
 
 # Sharding tests need a multi-device CPU mesh; give the host platform 8
 # virtual devices.  Compute-heavy correctness tests prefer the real TPU when
@@ -10,7 +12,43 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+
+def _tpu_tunnel_alive(timeout: float = 60.0) -> bool:
+    """The axon PJRT plugin dials a local relay during backend init and
+    hangs forever (nanosleep retry loop) when the tunnel is down — even
+    under JAX_PLATFORMS=cpu.  Probe device init in a subprocess with a hard
+    timeout so a dead tunnel degrades to CPU instead of hanging the suite."""
+    if os.environ.get("JAX_PLATFORMS", "axon") == "cpu" or not os.environ.get(
+        "PALLAS_AXON_POOL_IPS"
+    ):
+        return False
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert any(d.platform != 'cpu' for d in jax.devices())"],
+            timeout=timeout, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+_force_cpu = not _tpu_tunnel_alive()
+# for any subprocesses tests spawn:
+if _force_cpu:
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
+
+if _force_cpu:
+    # sitecustomize already imported jax and registered the axon plugin, so
+    # env vars are too late for THIS process — override the live config and
+    # drop the factory before any backend initializes.
+    jax.config.update("jax_platforms", "cpu")
+    from jax._src import xla_bridge as _xb  # noqa: E402
+
+    _xb._backend_factories.pop("axon", None)
 
 try:
     _tpus = [d for d in jax.devices() if d.platform != "cpu"]
@@ -21,6 +59,14 @@ if not _tpus:
     # CPU-only environment (e.g. the driver's multichip dry-run box): pin to
     # one CPU device to avoid confusion with the virtual mesh.
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        # pure-local CPU compiles (no axon remote-compile service in the
+        # process): persist them so the full-VM tests run warm.  Kept in a
+        # separate dir from the TPU cache — the TPU-only caveat below is
+        # about remote-compiled blobs, which cannot appear here.
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 else:
     # Compiles go through the TPU tunnel (~1-30s per program); persist them.
     # NOTE: TPU-only — CPU compiles can be served by a remote compile service

@@ -32,8 +32,8 @@ def test_full_invariants_mixed_ops():
     program = Program.from_instructions(CENO_PLATFORM.pc_base(), insns)
     kinds = (K.ADD, K.ADDI, K.SLLI, K.SLT, K.ECALL)
     vm, steps, pv = emulate_program(program, CENO_PLATFORM, 64)
-    layout = MemLayout.from_execution(program, vm, CENO_PLATFORM)
-    config = Rv32imConfig.construct(8, kinds=kinds, mem_layout=layout)
+    # no load/store kinds -> no memory tables; layout not needed
+    config = Rv32imConfig.construct(8, kinds=kinds)
     wit, ni, st = config.assign_witnesses(steps, program, vm)
     fx = config.generate_fixed_traces(program, np.zeros(64, dtype=np.uint64))
     check_lookup_values(config, wit, ni, st, fx)

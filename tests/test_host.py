@@ -43,12 +43,17 @@ def test_hints_guest_and_messages():
 
 
 def test_hints_layout():
+    """Platform-derived layout (e2e.rs setup_platform): static memory is a
+    pow2 pure function of program+sizes; hints is the dynamic region."""
+    from ceno_tpu.emul.platform import setup_platform
     from ceno_tpu.zkvm.riscv.config import MemLayout
 
-    stdin = CenoStdin().write(40).write(2)
     program = hints_sum_guest()
-    vm, steps, _ = run(CENO_PLATFORM, program, stdin)
-    layout = MemLayout.from_execution(program, vm, CENO_PLATFORM)
+    platform = setup_platform("ceno", program, stack_size=64, heap_size=64)
+    layout = MemLayout.from_platform(program, platform)
     assert "HINTS_MEM" in layout.dyn_regions
-    # info_out writes land in the heap region window
-    assert "HEAP_MEM" in layout.dyn_regions
+    off, cap = layout.dyn_regions["HINTS_MEM"]
+    assert off == platform.hints[0] >> 2
+    assert layout.pub_io is not None
+    n = len(layout.static_waddrs)
+    assert n & (n - 1) == 0

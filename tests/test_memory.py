@@ -10,7 +10,8 @@ from ceno_tpu.zkvm.mock_prover import assert_satisfied
 from ceno_tpu.zkvm.riscv.config import _BUILDERS, MemLayout
 from ceno_tpu.zkvm.witness import LkMultiplicity
 
-BASE = 0xB000_1000  # inside the stack region (writable)
+BASE = 0xBFFF_F000  # inside the stack region (writable), within the default
+# 32 KiB derived stack window [0xBFFF_8000, 0xC000_0000)
 
 
 def run_mem_program(insns):
@@ -78,14 +79,23 @@ def test_load_semantics(mem_steps):
     assert lb14.rd.value.after == 0xFFFF_FF98
 
 
-def test_mem_layout_from_execution(mem_steps):
-    steps, vm = mem_steps
+def test_mem_layout_from_platform(mem_steps):
+    """Layout is a pure function of program+platform (e2e.rs:169-244):
+    the stack window lands in the static table and covers BASE."""
+    from ceno_tpu.emul.platform import setup_platform
+
     program = Program.from_instructions(CENO_PLATFORM.pc_base(), PROGRAM)
-    layout = MemLayout.from_execution(program, vm, CENO_PLATFORM)
-    assert "STACK_MEM" in layout.dyn_regions
-    off, length = layout.dyn_regions["STACK_MEM"]
-    assert off <= BASE >> 2 and (BASE >> 2) + 3 < off + length
-    assert length & (length - 1) == 0
+    platform = setup_platform("ceno", program, stack_size=32768, heap_size=64)
+    layout = MemLayout.from_platform(program, platform)
+    ws = layout.static_waddrs
+    assert ws[0] <= BASE >> 2 <= ws[-1]
+    assert (BASE >> 2) in set(int(w) for w in ws)
+    n = len(ws)
+    assert n & (n - 1) == 0
+    # rerunning keygen-side derivation is reproducible without any execution
+    layout2 = MemLayout.from_platform(program, platform)
+    assert (layout2.static_waddrs == ws).all()
+    assert layout2.dyn_regions == layout.dyn_regions
 
 
 def test_negative_offset_load():

@@ -143,3 +143,43 @@ def test_merkle_ext_leaves():
             for i in range(len(digests) // 2)
         ]
     assert [int(x) for x in gl.to_u64(tree.root())] == digests[0]
+
+
+def test_transcript_kat():
+    """Known-answer vectors pinning the FROZEN transcript protocol
+    (PROTOCOL.md sections 1-2): byte packing, absorb/permute schedule,
+    challenge extraction, fork rule.  Any change to these semantics is a
+    protocol break and must fail here."""
+    import numpy as np
+
+    from ceno_tpu.field import gl
+    from ceno_tpu.transcript import basic as tr
+
+    def u64(x):
+        import jax
+
+        return int(np.asarray(jax.device_get(gl.to_u64(x))).reshape(-1)[0])
+
+    def chal(c):
+        return (u64(c.c0), u64(c.c1))
+
+    t = tr.Transcript(b"riscv")
+    assert chal(t.read_challenge()) == (
+        11043950585413292532, 6164229742704003629)
+    t.append_field_element_u64(12345)
+    assert chal(t.get_and_append_challenge(b"alpha")) == (
+        12787108238754250522, 12334414280796259042)
+    t.append_message(b"hello world, this is a long message spanning chunks")
+    assert chal(t.read_challenge()) == (
+        14366662452124276317, 6123310172239886936)
+    forks = t.fork(3)
+    assert [chal(f.read_challenge()) for f in forks] == [
+        (1373730073871460177, 12951794486819739443),
+        (2412369158558342330, 16962873252974800415),
+        (5230145515932600967, 12459221140893537502),
+    ]
+    # byte packing (PROTOCOL.md section 1)
+    assert tr.bytes_to_field_elements(b"abc").tolist() == [6513249]
+    assert tr.bytes_to_field_elements(b"").tolist() == [0]
+    assert tr.bytes_to_field_elements(bytes(range(17))).tolist() == [
+        506097522914230528, 1084818905618843912, 16]
