@@ -1,7 +1,8 @@
 """Devirgo two-phase sumcheck prover, TPU-native.
 
-Protocol and transcript schedule match the reference exactly
-(/root/reference/sumcheck/src/prover_v2.rs:36-315):
+Protocol structure and transcript schedule follow the reference one-to-one
+(/root/reference/sumcheck/src/prover_v2.rs:36-315); bit-level Fiat-Shamir
+identity with the Rust build is NOT claimed — see PROTOCOL.md:
 
 * absorb ``num_total_vars`` then ``max_degree`` (as u64 messages);
 * phase 1: ``n - log2(T)`` rounds; each round the d+1 univariate evaluations
@@ -18,13 +19,16 @@ shape (T, L) and the cross-shard sum is one reduction — ``jnp.sum`` on a
 single chip, ``psum`` over the device mesh under ``shard_map``
 (see ceno_tpu/parallel/).
 
-Compilation model: one fused jitted kernel per round shape — "fold previous
-challenge into every MLE, then compute this round's d+1 evaluations"
-(mirroring the reference's prove_round_and_update_state) — cached by
-structure signature.  Because the zkvm proves many sumchecks over the same
-term structures at geometrically shrinking sizes (tower layers), these
-kernels are compiled once per (structure, size) and reused everywhere;
-the per-round host dispatch is 2 calls (round kernel + transcript absorb).
+Compilation model: one fused jitted kernel per *phase* — every round's
+fold + d+1 evaluations + transcript absorb + challenge squeeze are unrolled
+into a single XLA program (shapes halve per round, so the loop is traced
+unrolled; each round is a handful of fused elementwise VPU ops plus one
+Poseidon permutation).  The whole prove is 1-2 device dispatches instead of
+2 per round, which removes the launch-overhead floor that dominated the
+per-round design (~40 dispatches for nv=20).  Kernels are cached by
+(term structure, shapes, round count); set CENO_SUMCHECK_FUSE=<N> to cap
+rounds per kernel (smaller programs, more dispatches) when compile time
+matters more than throughput.
 
 Round-evaluation kernels mirror prover_v2.rs:431-533: a degree-d product
 contributes evals at t=0..d via prod_i(even_i + t*(odd_i - even_i)); factors
@@ -176,6 +180,52 @@ def _run_round(mles, scales, challenge, factors, max_degree):
     return _KERNELS[key](mles, scales)
 
 
+_PHASE_KERNELS = {}
+
+
+def _phase_body(mles, ts, scales, challenge, factors, max_degree, final_fold):
+    """Unrolled chain of len(scales) rounds: per round fold the pending
+    challenge, evaluate, absorb into the transcript, squeeze the next
+    challenge.  Optionally fold the last challenge into the returned MLEs."""
+    msgs, chals = [], []
+    for rnd_scales in scales:
+        mles, evals = _round_kernel(mles, rnd_scales, challenge, factors, max_degree)
+        ts2 = tr.absorb_exts(ts, evals)
+        ts, challenge = tr.get_and_append_challenge(ts2, b"Internal round")
+        msgs.append(evals)
+        chals.append(challenge)
+    if final_fold:
+        mles = [
+            _fold_last(m, challenge) if _length(m) > 1 else fops.to_ext(m)
+            for m in mles
+        ]
+    return mles, msgs, chals, ts, challenge
+
+
+def _run_phase(mles, ts, scales, challenge, factors, max_degree, final_fold):
+    """Run len(scales) rounds as ONE jitted program (see module docstring)."""
+    key = (
+        _sig(mles, factors, max_degree, challenge is not None),
+        len(scales),
+        final_fold,
+    )
+    if key not in _PHASE_KERNELS:
+        fn = partial(
+            _phase_body,
+            factors=tuple(factors),
+            max_degree=max_degree,
+            final_fold=final_fold,
+        )
+        _PHASE_KERNELS[key] = jax.jit(
+            (lambda m, t, s, c: fn(m, t, s, c))
+            if challenge is not None
+            else (lambda m, t, s: fn(m, t, s, None))
+        )
+    if challenge is not None:
+        return _PHASE_KERNELS[key](mles, ts, scales, challenge)
+    return _PHASE_KERNELS[key](mles, ts, scales)
+
+
 _FOLD_KERNELS = {}
 
 
@@ -263,41 +313,68 @@ def prove(
 
     challenges: List[Gl2] = []
     msgs: List[Gl2] = []
-    challenge = None
 
-    def scales_for(round_1idx, num_vars_phase):
+    def scales_for(round_1idx, num_vars_phase, init_lens):
+        """Per-term scale for a round: coeff * 2^(num-var deficit).  Lengths
+        evolve deterministically (halve per round, floor 1), so this is a
+        pure function of the phase-entry lengths."""
         out = []
-        for term in poly.terms:
-            ln = _length(mles[term.factors[0]])
-            if challenge is not None and ln > 1:
-                ln //= 2  # kernel folds before evaluating
+        for term, ln0 in zip(poly.terms, init_lens):
+            ln = max(ln0 >> (round_1idx - 1), 1)
             log_len = max(ln.bit_length() - 1, 1)
             mult = max(num_vars_phase - (log_len + round_1idx - 1), 0)
             out.append(_term_scale(term.coeff, mult))
         return out
 
-    # ---- phase 1: n_local rounds over (T, L) arrays ---------------------
-    for rnd in range(1, n_local + 1):
-        scales = scales_for(rnd, n_local)
-        mles, evals = _run_round(mles, scales, challenge, factors, max_degree)
-        ts, challenge = _absorb_round(ts, evals)
-        msgs.append(evals)
-        challenges.append(challenge)
+    import os
 
-    mles = _run_final_fold(mles, challenge)
+    chunk = int(os.environ.get("CENO_SUMCHECK_FUSE", "0")) or (1 << 30)
+    # Below this round count, use the per-round shared kernels: a round
+    # kernel at size L is reused by EVERY sumcheck passing through L (tower
+    # layers, different-num_vars table proofs), so the zkvm's many small
+    # sumchecks compile O(sizes) kernels instead of O(sizes^2).  At/above it
+    # (big PCS/bench sumchecks — few distinct shapes) fuse the whole phase
+    # into one program and pay one compile for a dispatch-free round chain.
+    fuse_min = int(os.environ.get("CENO_SUMCHECK_FUSE_MIN", "15"))
+
+    def run_rounds(mles, ts, num_rounds, num_vars_phase):
+        """All rounds of one phase."""
+        init_lens = [_length(mles[t.factors[0]]) for t in poly.terms]
+        all_scales = tuple(
+            tuple(scales_for(r, num_vars_phase, init_lens))
+            for r in range(1, num_rounds + 1)
+        )
+        challenge = None
+        if num_rounds < fuse_min:
+            for rnd in range(num_rounds):
+                mles, evals = _run_round(
+                    mles, all_scales[rnd], challenge, factors, max_degree
+                )
+                ts, challenge = _absorb_round(ts, evals)
+                msgs.append(evals)
+                challenges.append(challenge)
+            mles = _run_final_fold(mles, challenge)
+            return mles, ts
+        done = 0
+        while done < num_rounds:
+            step = min(chunk, num_rounds - done)
+            mles, m, c, ts, challenge = _run_phase(
+                mles, ts, all_scales[done : done + step], challenge,
+                factors, max_degree, final_fold=(done + step == num_rounds),
+            )
+            msgs.extend(m)
+            challenges.extend(c)
+            done += step
+        return mles, ts
+
+    # ---- phase 1: n_local rounds over (T, L) arrays ---------------------
+    mles, ts = run_rounds(mles, ts, n_local, n_local)
 
     # ---- merge: per-shard scalars -> logT-var poly -----------------------
     # (merge_sumcheck_polys_v2, /root/reference/sumcheck/src/util.rs:224+)
     if logT:
         mles = [m[..., 0].reshape(1, T) for m in mles]
-        challenge = None
-        for rnd in range(1, logT + 1):
-            scales = scales_for(rnd, logT)
-            mles, evals = _run_round(mles, scales, challenge, factors, max_degree)
-            ts, challenge = _absorb_round(ts, evals)
-            msgs.append(evals)
-            challenges.append(challenge)
-        mles = _run_final_fold(mles, challenge)
+        mles, ts = run_rounds(mles, ts, logT, logT)
 
     final_evals = [fops.to_ext(m[0, 0]) for m in mles]
     return SumcheckProof(challenges, msgs), final_evals, ts

@@ -71,11 +71,28 @@ def absorb_ext(ts: TranscriptState, e: Gl2) -> TranscriptState:
 
 def absorb_exts(ts: TranscriptState, es: Gl2) -> TranscriptState:
     """Absorb a (n,)-shaped vector of extension elements, one permute each
-    (matches the reference's per-element loop)."""
+    (matches the reference's per-element loop).
+
+    Expressed as a lax.scan over the elements so a traced caller (e.g. the
+    fused sumcheck phase kernels) emits ONE absorb body instead of n unrolled
+    permutation graphs — semantics identical to the sequential loop."""
+    import jax
+
     n = es.c0.lo.shape[0]
-    for i in range(n):
-        ts = absorb_ext(ts, es[i])
-    return ts
+    if n == 1:
+        return absorb_ext(ts, es[0])
+
+    def body(state: Gl, e):
+        c0lo, c0hi, c1lo, c1hi = e
+        st = Gl(
+            jnp.concatenate([jnp.stack([c0lo, c1lo]), state.lo[2:]]),
+            jnp.concatenate([jnp.stack([c0hi, c1hi]), state.hi[2:]]),
+        )
+        return poseidon._permute_impl(st), None
+
+    xs = (es.c0.lo, es.c0.hi, es.c1.lo, es.c1.hi)
+    state, _ = jax.lax.scan(body, ts.state, xs)
+    return TranscriptState(state)
 
 
 def absorb_message(ts: TranscriptState, msg: bytes) -> TranscriptState:

@@ -117,3 +117,31 @@ def test_ext_mles():
     check(subclaim)
     want = vp.evaluate(subclaim.point)
     assert all_equal([(want, subclaim.expected_evaluation)])
+
+
+def test_fused_phase_matches_per_round(monkeypatch):
+    """The whole-phase fused kernel (CENO_SUMCHECK_FUSE_MIN) must emit the
+    exact same proof bytes/challenges as the per-round path, including with
+    a shard (phase-2) tail and heterogeneous num_vars."""
+    rng = np.random.default_rng(23)
+    n = 5
+    vp = make_poly(rng, n, [(3, n), (2, 3)])
+    proof_ref, evals_ref, _ = prove(vp, tr.new(b"fuse"), num_shards=2)
+
+    monkeypatch.setenv("CENO_SUMCHECK_FUSE_MIN", "1")
+    proof_fused, evals_fused, _ = prove(vp, tr.new(b"fuse"), num_shards=2)
+
+    pairs = (
+        list(zip(proof_ref.round_evals, proof_fused.round_evals))
+        + list(zip(proof_ref.point, proof_fused.point))
+        + list(zip(evals_ref, evals_fused))
+    )
+    assert all_equal(pairs)
+
+    # chunked fusion (two kernels) must agree too
+    monkeypatch.setenv("CENO_SUMCHECK_FUSE", "2")
+    proof_chunk, evals_chunk, _ = prove(vp, tr.new(b"fuse"), num_shards=2)
+    pairs = list(zip(proof_ref.round_evals, proof_chunk.round_evals)) + list(
+        zip(evals_ref, evals_chunk)
+    )
+    assert all_equal(pairs)
