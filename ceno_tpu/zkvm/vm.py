@@ -89,6 +89,65 @@ def _absorb_raw_pi(t: tr.Transcript, raw_pi: List[List[int]]) -> None:
             t.append_field_element_u64(int(v))
 
 
+def _split_entries(pk, witnesses, num_instances, seg_cap_log2):
+    """Segmentation at MAX_NUM_VARIABLES (scheme/constants.rs:8, SURVEY §5).
+
+    Opcode buckets whose padded instance count exceeds 2^seg_cap_log2 are
+    split into chunk entries ``NAME`` (chunk 0), ``NAME@001``, ``NAME@002``…
+    each proved as an independent opcode proof *under the same α/β chip
+    challenges*.  This is sound without any extra glue: the cross-circuit
+    multiset product and LogUp sum are linear over proofs, so per-step
+    global-state records at chunk boundaries cancel in the global product
+    exactly as they do between adjacent instances inside one proof — the
+    verifier's prod_r/prod_w/logup accumulation chains the segments.
+
+    Chunk ids are zero-padded so lexicographic entry order == chunk order,
+    keeping the transcript schedule deterministic.  Table circuits cannot be
+    split (single multiset over the whole execution); they assert the cap.
+
+    Returns (entry_names_by_circuit, entry_wits, entry_n): per base circuit
+    name the ordered chunk entry list, plus per-entry columns / counts.
+    """
+    cap = 1 << seg_cap_log2
+    by_circuit: Dict[str, List[str]] = {}
+    entry_wits: Dict[str, List[Gl]] = {}
+    entry_n: Dict[str, int] = {}
+
+    def is_opcode(name):
+        c = pk.circuit_pks[name].cs
+        return not (
+            c.r_table_expressions or c.w_table_expressions or c.lk_table_expressions
+        )
+
+    for name in pk.sorted_names():
+        n = num_instances.get(name, 0)
+        if n == 0:
+            by_circuit[name] = []
+            continue
+        if not is_opcode(name) or next_pow2_instance_padding(n) <= cap:
+            assert next_pow2_instance_padding(n) <= cap, (
+                f"table {name}: {n} rows exceeds the 2^{seg_cap_log2} "
+                "commitment cap and tables cannot be segmented"
+            )
+            by_circuit[name] = [name]
+            entry_wits[name] = witnesses[name]
+            entry_n[name] = n
+            continue
+        cols = witnesses[name]
+        entries = []
+        num_chunks = -(-n // cap)
+        assert num_chunks <= 999, "raise seg_cap_log2"
+        for j in range(num_chunks):
+            ename = name if j == 0 else f"{name}@{j:03d}"
+            n_j = min(cap, n - j * cap)
+            pad_j = next_pow2_instance_padding(n_j)
+            entry_wits[ename] = [c[j * cap : j * cap + pad_j] for c in cols]
+            entry_n[ename] = n_j
+            entries.append(ename)
+        by_circuit[name] = entries
+    return by_circuit, entry_wits, entry_n
+
+
 def create_proof(
     pk: ZKVMProvingKey,
     witnesses: Dict[str, List[Gl]],
@@ -97,10 +156,15 @@ def create_proof(
     pv: PublicValues,
     t: tr.Transcript,
     num_shards: int = 1,
+    seg_cap_log2: Optional[int] = None,
 ) -> ZKVMProof:
     """witnesses[name] = padded witin columns; num_instances[name] = real
-    (unpadded) instance count.  Circuits with no instances are skipped."""
+    (unpadded) instance count.  Circuits with no instances are skipped.
+    seg_cap_log2 (default: the PCS max_num_vars) caps any one commitment;
+    larger opcode buckets are proved as multiple segments (_split_entries)."""
     pcs = pk.pcs
+    if seg_cap_log2 is None:
+        seg_cap_log2 = pcs.max_num_vars
     raw_pi = pv.to_vec()
     _absorb_raw_pi(t, raw_pi)
     pi_mles = _raw_pi_mles(raw_pi)
@@ -112,7 +176,7 @@ def create_proof(
         if cpk.fixed_commit is not None:
             Basefold.write_commitment(cpk.fixed_commit, t)
 
-    # commit opcode circuits first, then tables, each sorted by name —
+    # commit opcode circuits first, then tables, each sorted by entry name —
     # the verifier replays absorbs in this order (prover.rs:98 comment,
     # verifier.rs:118-127)
     def is_opcode_name(name):
@@ -121,50 +185,50 @@ def create_proof(
             c.r_table_expressions or c.w_table_expressions or c.lk_table_expressions
         )
 
+    by_circuit, entry_wits, entry_n = _split_entries(
+        pk, witnesses, num_instances, seg_cap_log2
+    )
     commitments = {}
-    ordered = [n for n in pk.sorted_names() if is_opcode_name(n)] + [
-        n for n in pk.sorted_names() if not is_opcode_name(n)
+    ordered = [e for n in pk.sorted_names() if is_opcode_name(n)
+               for e in by_circuit[n]] + [
+        e for n in pk.sorted_names() if not is_opcode_name(n)
+        for e in by_circuit[n]
     ]
     from ..utils.profiling import span
 
-    for name in ordered:
-        if num_instances.get(name, 0) == 0:
-            continue
-        with span(f"commit/{name}", level=2):
-            cww = pcs.commit(witnesses[name])
+    for ename in ordered:
+        with span(f"commit/{ename}", level=2):
+            cww = pcs.commit(entry_wits[ename])
         Basefold.write_commitment(cww.to_commitment(), t)
-        commitments[name] = cww
+        commitments[ename] = cww
 
     challenges = [t.read_challenge(), t.read_challenge()]
 
     proof = ZKVMProof(raw_pi, _constant_pi_evals(raw_pi))
     forks = t.fork(len(pk.circuit_pks))
     for i, name in enumerate(pk.sorted_names()):
-        if num_instances.get(name, 0) == 0:
-            continue
         cpk = pk.circuit_pks[name]
         cs = cpk.cs
-        ft = forks[i]
-        is_opcode = not (
-            cs.r_table_expressions or cs.w_table_expressions or cs.lk_table_expressions
-        )
-        if is_opcode:
-            with span(f"opcode_proof/{name}", level=2):
-                p = create_opcode_proof(
-                    name, pcs, cs, witnesses[name], commitments[name], pi_scalars,
-                    num_instances[name], ft, challenges, num_shards,
-                )
-            proof.opcode_proofs[name] = (i, p)
-        else:
-            with span(f"table_proof/{name}", level=2):
-                p, pi_in_evals = create_table_proof(
-                    name, pcs, cs, cpk.fixed_traces or [], cpk.fixed_cww,
-                    witnesses[name], commitments[name], structural.get(name, []),
-                    pi_mles, pi_mles, ft, challenges, num_shards,
-                )
-            proof.table_proofs[name] = (i, p)
-            for idx, ev in pi_in_evals.items():
-                proof.pi_evals[idx] = ev
+        ft = forks[i]  # shared by all chunks of this circuit, in order
+        for ename in by_circuit[name]:
+            if is_opcode_name(name):
+                with span(f"opcode_proof/{ename}", level=2):
+                    p = create_opcode_proof(
+                        ename, pcs, cs, entry_wits[ename], commitments[ename],
+                        pi_scalars, entry_n[ename], ft, challenges, num_shards,
+                    )
+                proof.opcode_proofs[ename] = (i, p)
+            else:
+                with span(f"table_proof/{ename}", level=2):
+                    p, pi_in_evals = create_table_proof(
+                        ename, pcs, cs, cpk.fixed_traces or [], cpk.fixed_cww,
+                        entry_wits[ename], commitments[ename],
+                        structural.get(ename, []),
+                        pi_mles, pi_mles, ft, challenges, num_shards,
+                    )
+                proof.table_proofs[ename] = (i, p)
+                for idx, ev in pi_in_evals.items():
+                    proof.pi_evals[idx] = ev
     return proof
 
 
@@ -186,8 +250,10 @@ def verify_proof_halt(
     """verifier.rs:55-75: a halting trace must carry exactly one ECALL-HALT
     instance; a truncated (max_steps) segment must carry none.  The count is
     a host-side structural check; the rest verifies on-device."""
-    entry = proof.opcode_proofs.get(HALT_CIRCUIT_NAME)
-    num_halts = entry[1].num_instances if entry is not None else 0
+    num_halts = sum(
+        p.num_instances for name, (_, p) in proof.opcode_proofs.items()
+        if name.split("@")[0] == HALT_CIRCUIT_NAME
+    )
     if num_halts != int(does_halt):
         return jnp.asarray(False)
     return verify_proof(pk_or_vk, proof, t)
@@ -234,8 +300,10 @@ def verify_proof(
     logup_sum = gl2.zeros(())
 
     forks = t.fork(len(vk.circuit_pks))
-    for name, (i, p) in proof.opcode_proofs.items():
-        cs = vk.circuit_pks[name].cs
+    # sorted order == proving order (chunk ids are zero-padded); chunks of a
+    # segmented circuit share forks[i] and replay sequentially on it
+    for name, (i, p) in sorted(proof.opcode_proofs.items()):
+        cs = vk.circuit_pks[name.split("@")[0]].cs
         out = verify_opcode_proof(name, pcs, cs, p, pi_evals, forks[i], challenges)
         ok = ok & out.ok
 
@@ -253,7 +321,7 @@ def verify_proof(
         logup_sum = gl2.add(logup_sum, gl2.mul(p1, gl2.inv(q1)))
         logup_sum = gl2.add(logup_sum, gl2.mul(p2, gl2.inv(q2)))
 
-    for name, (i, p) in proof.table_proofs.items():
+    for name, (i, p) in sorted(proof.table_proofs.items()):
         cs = vk.circuit_pks[name].cs
         out = verify_table_proof(
             name, pcs, cs, vk.circuit_pks[name].fixed_commit, p,
