@@ -44,3 +44,18 @@ def test_mesh_prove_matches_single_chip():
 
         subclaim, _ = verify(claimed, proof_mesh, num_vars, 2, tr.new(b"mesh"))
         check(subclaim)
+
+
+def test_mesh_full_opcode_proof_matches_single_device():
+    """Full opcode proof (records -> tower -> main-sel -> Basefold open)
+    with witness columns sharded over a 4-device mesh: canonical proof bytes
+    must equal the single-device run with the same protocol shard count
+    (VERDICT round-1 item 6; oracle per SURVEY section 2.9)."""
+    from ceno_tpu.parallel.opcode_dryrun import prove_tiny_add_opcode
+
+    devices = conftest.cpu_mesh_devices(4)
+    mesh = make_mesh(devices=devices)
+    with jax.default_device(devices[0]):
+        bytes_single = prove_tiny_add_opcode(num_shards=4, mesh=None)
+        bytes_mesh = prove_tiny_add_opcode(num_shards=4, mesh=mesh)
+    assert bytes_mesh == bytes_single
