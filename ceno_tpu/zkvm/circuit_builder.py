@@ -89,32 +89,50 @@ class ConstraintSystem:
         self.instance_ids: List[int] = []
         self.witin_names: List[str] = []
         self.fixed_names: List[str] = []
-        # opcode side
+        # opcode side (parallel *_names lists carry namespaced labels for
+        # diagnostics — mock_prover.rs:163-296 reports failures by name)
         self.r_expressions: List[Expr] = []
+        self.r_names: List[str] = []
         self.w_expressions: List[Expr] = []
+        self.w_names: List[str] = []
         self.lk_expressions: List[Expr] = []
+        self.lk_names: List[str] = []
+        self.lk_raw: List[tuple] = []  # (rom_type, items) per lk_record
         # table side
         self.r_table_expressions: List[SetTableExpression] = []
         self.w_table_expressions: List[SetTableExpression] = []
         self.lk_table_expressions: List[LogupTableExpression] = []
+        self.lk_table_raw: List[tuple] = []  # (rom_type, items, multiplicity)
         # zero assertions
         self.assert_zero_expressions: List[Expr] = []
+        self.assert_zero_names: List[str] = []
         self.assert_zero_sumcheck_expressions: List[Expr] = []
         self.assert_names: List[str] = []
         self.max_non_lc_degree = 0
+        self._ns: List[str] = []  # namespace stack (circuit_builder.rs ns)
+
+    # -- namespaces ---------------------------------------------------------
+
+    def namespace(self, name: str):
+        """Context manager: prefix every registered name with `name/` —
+        the reference's `cb.namespace(|| "...", ...)` idiom."""
+        return _Namespace(self, name)
+
+    def _n(self, name: str) -> str:
+        return "/".join(self._ns + [name]) if self._ns else name
 
     # -- registration -----------------------------------------------------
 
     def create_witin(self, name: str = "w") -> WitIn:
         w = WitIn(self.num_witin)
         self.num_witin += 1
-        self.witin_names.append(name)
+        self.witin_names.append(self._n(name))
         return w
 
     def create_fixed(self, name: str = "f") -> Fixed:
         f = Fixed(self.num_fixed)
         self.num_fixed += 1
-        self.fixed_names.append(name)
+        self.fixed_names.append(self._n(name))
         return f
 
     def create_structural_witin(
@@ -135,18 +153,19 @@ class ConstraintSystem:
         e = rlc_chip_record([to_expr(i) for i in items])
         assert e.degree() == 1, "read_record must be linear"
         self.r_expressions.append(e)
+        self.r_names.append(self._n(name))
 
     def write_record(self, items: List[Expr], name: str = "w") -> None:
         e = rlc_chip_record([to_expr(i) for i in items])
         assert e.degree() == 1, "write_record must be linear"
         self.w_expressions.append(e)
+        self.w_names.append(self._n(name))
 
     def lk_record(self, rom_type: int, items: List[Expr], name: str = "lk") -> None:
         e = rlc_chip_record([Constant(rom_type)] + [to_expr(i) for i in items])
         assert e.degree() == 1, "lk_record must be linear"
         self.lk_expressions.append(e)
-        if not hasattr(self, "lk_raw"):
-            self.lk_raw = []
+        self.lk_names.append(self._n(name))
         self.lk_raw.append((rom_type, [to_expr(i) for i in items]))
 
     def lk_table_record(
@@ -158,8 +177,6 @@ class ConstraintSystem:
         self.lk_table_expressions.append(
             LogupTableExpression(multiplicity, e, table_len)
         )
-        if not hasattr(self, "lk_table_raw"):
-            self.lk_table_raw = []
         self.lk_table_raw.append((rom_type, [to_expr(i) for i in items], multiplicity))
 
     def r_table_record(
@@ -183,16 +200,26 @@ class ConstraintSystem:
         d = expr.degree()
         if d <= 1:
             self.assert_zero_expressions.append(expr)
+            self.assert_zero_names.append(self._n(name))
         else:
             self.max_non_lc_degree = max(self.max_non_lc_degree, d)
             self.assert_zero_sumcheck_expressions.append(expr)
-            self.assert_names.append(name)
+            self.assert_names.append(self._n(name))
 
     def require_equal(self, a, b, name: str = "eq") -> None:
         self.require_zero(to_expr(a) - to_expr(b), name)
 
     def require_one(self, e, name: str = "one") -> None:
         self.require_zero(to_expr(e) - 1, name)
+
+    def condition_require_equal(self, cond, a, b, name: str = "cond_eq") -> None:
+        """cond * (a - b) == 0 (chip_handler/general.rs condition_require_equal)."""
+        self.require_zero(to_expr(cond) * (to_expr(a) - to_expr(b)), name)
+
+    def select(self, cond, a, b) -> Expr:
+        """cond ? a : b as cond*a + (1-cond)*b (chip_handler select)."""
+        cond, a, b = to_expr(cond), to_expr(a), to_expr(b)
+        return cond * a + (Constant(1) - cond) * b
 
     def fingerprint(self) -> int:
         """Structural hash: identical circuits share jit kernels (frozen
@@ -212,6 +239,22 @@ class ConstraintSystem:
                 tuple(self.assert_zero_sumcheck_expressions),
             ))
         return self._fp
+
+
+class _Namespace:
+    """Pushes a name onto the CS namespace stack for the `with` body."""
+
+    def __init__(self, cs: ConstraintSystem, name: str):
+        self.cs = cs
+        self.name = name
+
+    def __enter__(self):
+        self.cs._ns.append(self.name)
+        return self.cs
+
+    def __exit__(self, *exc):
+        self.cs._ns.pop()
+        return False
 
 
 class CircuitBuilder:

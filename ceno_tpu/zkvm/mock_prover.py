@@ -80,8 +80,14 @@ def assert_satisfied(
 
 
 def _zero_names(cs: ConstraintSystem) -> List[str]:
-    n_linear = len(cs.assert_zero_expressions)
-    return [f"linear_{i}" for i in range(n_linear)] + list(cs.assert_names)
+    """Namespaced constraint names, parallel to the evaluation order
+    (linear assertions first, then sumcheck zero-checks) — the reference
+    reports failures by the namespaced name (mock_prover.rs:163-296)."""
+    linear = list(cs.assert_zero_names)
+    # circuits built before name tracking existed fall back to indexes
+    while len(linear) < len(cs.assert_zero_expressions):
+        linear.append(f"linear_{len(linear)}")
+    return linear + list(cs.assert_names)
 
 
 def check_lookup_balance(lkm_opcode, lkm_tables) -> None:

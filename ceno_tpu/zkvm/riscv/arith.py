@@ -14,7 +14,7 @@ from typing import List
 import numpy as np
 
 from ...emul.insn import InsnKind
-from ..circuit_builder import ConstraintSystem, ROMType
+from ..circuit_builder import ConstraintSystem
 from ..expression import Constant, WitIn
 from ..witness import LkMultiplicity, WitnessMatrix
 from .gadgets import UINT_LIMBS
@@ -27,6 +27,7 @@ from .insn_base import (
     lk_fetch,
     value_limbs,
 )
+from .uint import UInt, Value, assign_carries, range_check_result
 
 
 @dataclass
@@ -36,10 +37,19 @@ class AddSubConfig:
     rs1: ReadReg
     rs2: ReadReg
     rd: WriteRD
-    rs1_limbs: List[WitIn]
-    rs2_limbs: List[WitIn]
+    rs1_u: UInt
+    rs2_u: UInt
     carries: List[WitIn]
     is_add: bool
+
+    # limb witness views (kept for table/debug compat)
+    @property
+    def rs1_limbs(self):
+        return self.rs1_u.witins
+
+    @property
+    def rs2_limbs(self):
+        return self.rs2_u.witins
 
 
 def construct_add_sub(kind: int, name: str) -> AddSubConfig:
@@ -47,35 +57,22 @@ def construct_add_sub(kind: int, name: str) -> AddSubConfig:
     is_add = kind == InsnKind.ADD
     cs = ConstraintSystem(name)
     state = StateInOut.construct(cs)
-    rs1_limbs = [cs.create_witin(f"rs1_l{i}") for i in range(UINT_LIMBS)]
-    rs2_limbs = [cs.create_witin(f"rs2_l{i}") for i in range(UINT_LIMBS)]
-    carries = [cs.create_witin(f"carry_{i}") for i in range(UINT_LIMBS)]
-    for c in carries:
-        cs.require_zero(c * c - c, "carry_bit")
+    # register reads are range-guaranteed by the register multiset -> unchecked
+    # (arith.rs:43 uses UInt::new_unchecked for rs1/rs2)
+    rs1_u = UInt.new_unchecked(cs, "rs1")
+    rs2_u = UInt.new_unchecked(cs, "rs2")
+    # rd = rs1 +/- rs2 via the UInt framework (uint/arithmetic.rs:18-95):
+    # carry/borrow bit witnesses, result limbs as range-checked expressions
+    if is_add:
+        rd_u, carries = rs1_u.add(cs, rs2_u, name="rd")
+    else:
+        rd_u, carries = rs1_u.sub(cs, rs2_u, name="rd")
 
-    # rd limbs as expressions (uint/arithmetic.rs:18-95):
-    # add: rd_i = rs1_i + rs2_i + carry_{i-1} - carry_i * 2^16
-    # sub: rd   = rs1 - rs2  <=>  rs1_i = rd_i + rs2_i ... equivalently
-    #      rd_i = rs1_i - rs2_i + borrow_i * 2^16 - borrow_{i-1}
-    rd_exprs = []
-    for i in range(UINT_LIMBS):
-        prev = carries[i - 1] if i > 0 else None
-        if is_add:
-            e = rs1_limbs[i] + rs2_limbs[i] - carries[i] * Constant(1 << 16)
-            if prev is not None:
-                e = e + prev
-        else:
-            e = rs1_limbs[i] - rs2_limbs[i] + carries[i] * Constant(1 << 16)
-            if prev is not None:
-                e = e - prev
-        rd_exprs.append(e)
-        cs.lk_record(ROMType.U16, [e])  # range check result limb
-
-    rs1 = ReadReg.construct(cs, list(rs1_limbs), state.ts, SUBCYCLE_RS1)
-    rs2 = ReadReg.construct(cs, list(rs2_limbs), state.ts, SUBCYCLE_RS2)
-    rd = WriteRD.construct(cs, rd_exprs, state.ts)
+    rs1 = ReadReg.construct(cs, rs1_u.expr(), state.ts, SUBCYCLE_RS1)
+    rs2 = ReadReg.construct(cs, rs2_u.expr(), state.ts, SUBCYCLE_RS2)
+    rd = WriteRD.construct(cs, rd_u.expr(), state.ts)
     lk_fetch(cs, state.pc, kind, rd.id, rs1.id, rs2.id, Constant(0))
-    return AddSubConfig(cs, state, rs1, rs2, rd, rs1_limbs, rs2_limbs, carries, is_add)
+    return AddSubConfig(cs, state, rs1, rs2, rd, rs1_u, rs2_u, carries, is_add)
 
 
 def assign_add_sub(
@@ -94,26 +91,13 @@ def assign_add_sub(
     rd_new = u64([s.rd.value.after for s in steps])
 
     config.state.assign(wm, pcs, cycles)
-    r1l = value_limbs(rs1_v)
-    r2l = value_limbs(rs2_v)
-    for i in range(UINT_LIMBS):
-        wm.set(config.rs1_limbs[i], r1l[i])
-        wm.set(config.rs2_limbs[i], r2l[i])
+    r1l = config.rs1_u.assign(wm, lkm, rs1_v)
+    r2l = config.rs2_u.assign(wm, lkm, rs2_v)
 
-    if config.is_add:
-        c0 = (r1l[0] + r2l[0]) >> np.uint64(16)
-        c1 = (r1l[1] + r2l[1] + c0) >> np.uint64(16)
-    else:
-        # borrow bits: rd = rs1 - rs2
-        b0 = (r1l[0] < r2l[0]).astype(np.uint64)
-        b1 = ((r1l[1].astype(np.int64) - r2l[1].astype(np.int64) - b0.astype(np.int64)) < 0).astype(np.uint64)
-        c0, c1 = b0, b1
-    wm.set(config.carries[0], c0)
-    wm.set(config.carries[1], c1)
-
-    rdl = value_limbs(rd_new)
-    lkm.assert_ux(16, rdl[0])
-    lkm.assert_ux(16, rdl[1])
+    bits = (Value.add_carries(r1l, r2l) if config.is_add
+            else Value.sub_borrows(r1l, r2l))
+    assign_carries(wm, config.carries, bits)
+    range_check_result(lkm, rd_new)
 
     config.rs1.assign(wm, lkm, u64([(s.rs1.addr << 2) >> 8 for s in steps]),
                       u64([s.rs1.previous_cycle for s in steps]), cycles)
