@@ -76,3 +76,20 @@ def prove_sharded(poly: VirtualPoly, ts: tr.TranscriptState, mesh: Mesh):
     T = int(mesh.devices.size)
     sharded = shard_virtual_poly(poly, mesh)
     return sc_prover.prove(sharded, ts, num_shards=T)
+
+
+MIN_VARS_PER_SHARD = 4  # ceno_zkvm/src/utils.rs:96 min_numvar_per_thread
+
+
+def optimal_num_shards(num_vars: int, n_devices: Optional[int] = None) -> int:
+    """Device-count-aware shard layout (the reference's
+    optimal_sumcheck_threads, ceno_zkvm/src/utils.rs:94-102, with the device
+    mesh standing in for the rayon pool): 1 shard for tiny polys, else
+    min(2^(num_vars - 4), pow2_floor(n_devices)).  Always a power of two so
+    the shard axis is a clean reshape of the eval table."""
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    cap = 1 << (max(n_devices, 1).bit_length() - 1)
+    if num_vars <= MIN_VARS_PER_SHARD:
+        return 1
+    return min(1 << (num_vars - MIN_VARS_PER_SHARD), cap)

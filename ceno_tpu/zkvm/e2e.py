@@ -16,6 +16,7 @@ Key invariants (e2e.rs:169-244):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from enum import Enum
@@ -148,6 +149,17 @@ def run_e2e_with_checkpoint(
         return E2EResult(None, None, len(steps), vm.exit_code, timings,
                          vm.halted)
 
+    if os.environ.get("MOCK_PROVING"):
+        # e2e.rs:455-463: run the mock prover over the full assigned witness
+        # before the real proof — catches unsatisfied constraints with names.
+        from .debug import assert_satisfied_full
+
+        t0 = time.time()
+        with span("mock_proving"):
+            assert_satisfied_full(config, witnesses, num_instances,
+                                  structural, pv, fixed)
+        timings["mock_proving"] = time.time() - t0
+
     t0 = time.time()
     with span("prove"):
         t = tr.Transcript(b"riscv")
@@ -178,7 +190,9 @@ def main(argv=None):
     p.add_argument("--max-steps", type=int, default=1 << 20)
     p.add_argument("--checkpoint", default="complete",
                    choices=["emulate", "witness", "complete"])
-    p.add_argument("--num-shards", type=int, default=1)
+    p.add_argument("--num-shards", type=int, default=1,
+                   help="mesh shards per sumcheck; 0 = auto from the device "
+                        "count (optimal_sumcheck_threads analog)")
     p.add_argument("--platform", default="ceno", choices=["ceno", "sp1"],
                    help="address-space preset (bin/e2e.rs --platform)")
     p.add_argument("--stack-size", type=int, default=32768)

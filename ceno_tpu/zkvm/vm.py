@@ -161,7 +161,9 @@ def create_proof(
     """witnesses[name] = padded witin columns; num_instances[name] = real
     (unpadded) instance count.  Circuits with no instances are skipped.
     seg_cap_log2 (default: the PCS max_num_vars) caps any one commitment;
-    larger opcode buckets are proved as multiple segments (_split_entries)."""
+    larger opcode buckets are proved as multiple segments (_split_entries).
+    num_shards=0 picks a per-entry shard count from the device mesh
+    (optimal_sumcheck_threads analog, utils.rs:94-102)."""
     pcs = pk.pcs
     if seg_cap_log2 is None:
         seg_cap_log2 = pcs.max_num_vars
@@ -211,11 +213,18 @@ def create_proof(
         cs = cpk.cs
         ft = forks[i]  # shared by all chunks of this circuit, in order
         for ename in by_circuit[name]:
+            if num_shards == 0:
+                from ..parallel import optimal_num_shards
+
+                pad = entry_wits[ename][0].lo.shape[0] if entry_wits[ename] else 1
+                ns = optimal_num_shards(max(pad, 1).bit_length() - 1)
+            else:
+                ns = num_shards
             if is_opcode_name(name):
                 with span(f"opcode_proof/{ename}", level=2):
                     p = create_opcode_proof(
                         ename, pcs, cs, entry_wits[ename], commitments[ename],
-                        pi_scalars, entry_n[ename], ft, challenges, num_shards,
+                        pi_scalars, entry_n[ename], ft, challenges, ns,
                     )
                 proof.opcode_proofs[ename] = (i, p)
             else:
@@ -224,7 +233,7 @@ def create_proof(
                         ename, pcs, cs, cpk.fixed_traces or [], cpk.fixed_cww,
                         entry_wits[ename], commitments[ename],
                         structural.get(ename, []),
-                        pi_mles, pi_mles, ft, challenges, num_shards,
+                        pi_mles, pi_mles, ft, challenges, ns,
                     )
                 proof.table_proofs[ename] = (i, p)
                 for idx, ev in pi_in_evals.items():

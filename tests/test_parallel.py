@@ -59,3 +59,15 @@ def test_mesh_full_opcode_proof_matches_single_device():
         bytes_single = prove_tiny_add_opcode(num_shards=4, mesh=None)
         bytes_mesh = prove_tiny_add_opcode(num_shards=4, mesh=mesh)
     assert bytes_mesh == bytes_single
+
+
+def test_optimal_num_shards():
+    """Device-count-aware shard heuristic (utils.rs:94-102 analog)."""
+    from ceno_tpu.parallel import optimal_num_shards
+
+    assert optimal_num_shards(3, 8) == 1
+    assert optimal_num_shards(4, 8) == 1
+    assert optimal_num_shards(5, 8) == 2
+    assert optimal_num_shards(20, 8) == 8
+    assert optimal_num_shards(20, 5) == 4   # pow2 floor of the mesh
+    assert optimal_num_shards(20, 1) == 1
