@@ -107,3 +107,8 @@ def reshape(a, *shape):
 
 def to_u64(a):
     return _mod(a).to_u64(a)
+
+
+def deinterleave(a):
+    """(even, odd) adjacent pairs along the last axis (TPU-fast layout)."""
+    return _mod(a).deinterleave(a)

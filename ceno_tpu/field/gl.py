@@ -17,7 +17,7 @@ in ``/root/reference/poseidon/src/poseidon_goldilocks.rs`` reduce96/reduce128):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Union
+from typing import NamedTuple, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -334,44 +334,65 @@ def take(a: Gl, idx, axis=0) -> Gl:
 
 
 def sum_reduce(a: Gl, axis=None) -> Gl:
-    """Sum of field elements along an axis.
+    """Exact mod-p sum along ``axis`` (all axes when None).
 
-    Accumulates the u32 limb columns in uint64-free fashion: partial sums of
-    lo/hi limbs can overflow u32, so we accumulate into 16-bit-split columns
-    and reduce once.  For simplicity and correctness we use a log-tree of
-    canonical adds instead (XLA fuses this well)."""
+    TPU-native: limbs are split into 16-bit columns (< 2^16) and blocks of
+    up to 2^15 elements are summed by XLA's *native* u32 reduction (exact:
+    2^15 * (2^16-1) < 2^31); each block's column quad is recombined via
+    reduce128.  Recursion depth is O(log_{2^15} n) — two native reductions
+    for anything up to 2^30 elements.  This replaces an earlier pairwise
+    add-tree, which emitted O(log2 n) strided-slice stages (~60 ms at 2^20
+    on TPU vs ~0.3 ms for the native reduction)."""
     if axis is None:
-        flat = Gl(a.lo.reshape(-1), a.hi.reshape(-1))
-        return _tree_sum(flat)
-    # move axis to front then tree-sum
-    lo = jnp.moveaxis(a.lo, axis, 0)
-    hi = jnp.moveaxis(a.hi, axis, 0)
-    return _tree_sum(Gl(lo, hi))
+        lo, hi = a.lo.reshape(-1), a.hi.reshape(-1)
+    else:
+        lo = jnp.moveaxis(a.lo, axis, -1)
+        hi = jnp.moveaxis(a.hi, axis, -1)
+    return _col_sum_last(lo, hi)
 
 
-def _tree_sum(a: Gl) -> Gl:
-    """Pairwise tree reduction of axis 0 with canonical adds."""
-    n = a.lo.shape[0]
+_SUM_BLK = 1 << 15
+
+
+def _from_cols16(c0, c1, c2, c3) -> Gl:
+    """Canonical Gl from S = c0 + c1*2^16 + c2*2^32 + c3*2^48, c_i < 2^31."""
+    a_lo, ca = _addc(c0, c1 << 16)
+    a_hi = (c1 >> 16) + ca  # < 2^16
+    b_lo, cb = _addc(c2, c3 << 16)
+    b_hi = (c3 >> 16) + cb
+    w1, cw = _addc(a_hi, b_lo)
+    w2 = b_hi + cw
+    return reduce128(a_lo, w1, w2, jnp.zeros_like(w2))
+
+
+def _col_sum_last(lo, hi) -> Gl:
+    mask16 = _U32(0xFFFF)
+    n = lo.shape[-1]
     while n > 1:
-        half = n // 2
-        even = Gl(a.lo[: 2 * half : 2], a.hi[: 2 * half : 2])
-        odd = Gl(a.lo[1 : 2 * half : 2], a.hi[1 : 2 * half : 2])
-        s = add(even, odd)
-        if n % 2 == 1:
-            tail = Gl(a.lo[-1:], a.hi[-1:])
-            s = add(
-                concat([s, zeros((1,) + s.lo.shape[1:])]),
-                concat([zeros(s.lo.shape), tail]),
-            ) if False else concat_add_tail(s, tail)
-        a = s
-        n = a.lo.shape[0]
-    return Gl(a.lo[0], a.hi[0])
+        blk = min(n, _SUM_BLK)
+        if n % blk:
+            pad = blk - (n % blk)
+            widths = [(0, 0)] * (lo.ndim - 1) + [(0, pad)]
+            lo = jnp.pad(lo, widths)
+            hi = jnp.pad(hi, widths)
+            n += pad
+        shape = lo.shape[:-1] + (n // blk, blk)
+        c0 = jnp.sum((lo & mask16).reshape(shape), axis=-1, dtype=jnp.uint32)
+        c1 = jnp.sum((lo >> 16).reshape(shape), axis=-1, dtype=jnp.uint32)
+        c2 = jnp.sum((hi & mask16).reshape(shape), axis=-1, dtype=jnp.uint32)
+        c3 = jnp.sum((hi >> 16).reshape(shape), axis=-1, dtype=jnp.uint32)
+        g = _from_cols16(c0, c1, c2, c3)
+        lo, hi = g.lo, g.hi
+        n = lo.shape[-1]
+    return Gl(lo[..., 0], hi[..., 0])
 
 
-def concat_add_tail(s: Gl, tail: Gl) -> Gl:
-    """Append tail by adding it to the first element (order-free for sums)."""
-    first = add(Gl(s.lo[:1], s.hi[:1]), tail)
-    return Gl(
-        jnp.concatenate([first.lo, s.lo[1:]]),
-        jnp.concatenate([first.hi, s.hi[1:]]),
-    )
+def deinterleave(a: Gl) -> Tuple["Gl", "Gl"]:
+    """(even, odd) adjacent pairs along the last axis.
+
+    Implemented as reshape(..., n/2, 2) + unit-index — XLA lowers this to a
+    relayout, ~12x faster on TPU than the strided slices a[0::2]/a[1::2]."""
+    shp = a.lo.shape[:-1] + (a.lo.shape[-1] // 2, 2)
+    lo = a.lo.reshape(shp)
+    hi = a.hi.reshape(shp)
+    return Gl(lo[..., 0], hi[..., 0]), Gl(lo[..., 1], hi[..., 1])

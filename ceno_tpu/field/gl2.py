@@ -182,3 +182,10 @@ def take(a: Gl2, idx, axis=0) -> Gl2:
 
 def sum_reduce(a: Gl2, axis=None) -> Gl2:
     return Gl2(gl.sum_reduce(a.c0, axis=axis), gl.sum_reduce(a.c1, axis=axis))
+
+
+def deinterleave(a: Gl2):
+    """(even, odd) adjacent pairs along the last axis (see gl.deinterleave)."""
+    e0, o0 = gl.deinterleave(a.c0)
+    e1, o1 = gl.deinterleave(a.c1)
+    return Gl2(e0, e1), Gl2(o0, o1)

@@ -48,7 +48,7 @@ def to_base_matrix(values) -> Tuple[Gl, bool]:
 
 def _pair_columns(mat: Gl) -> Tuple[Gl, Gl]:
     """Split (k, n) into even/odd columns (k, n/2)."""
-    return mat[:, 0::2], mat[:, 1::2]
+    return gl.deinterleave(mat)
 
 
 def hash_leaf_layer(polys: List) -> Gl:
@@ -76,7 +76,7 @@ def build_layers(polys) -> List[Gl]:
     layers = [hash_leaf_layer(polys)]
     while layers[-1].lo.shape[1] > 1:
         cur = layers[-1]
-        layers.append(poseidon.two_to_one(cur[:, 0::2], cur[:, 1::2]))
+        layers.append(poseidon.two_to_one(*gl.deinterleave(cur)))
     return layers
 
 

@@ -28,8 +28,7 @@ def fix_low_var(evals, r):
 
     out[b] = a[2b] + r*(a[2b+1] - a[2b]).  Result is in the field of
     a-promoted-by-r (ext if either is ext)."""
-    lo = evals[0::2]
-    hi = evals[1::2]
+    lo, hi = fops.deinterleave(evals)
     return fops.add(fops.mul(fops.sub(hi, lo), r), fops.to_ext(lo) if _needs_ext(evals, r) else lo)
 
 

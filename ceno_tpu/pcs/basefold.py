@@ -960,8 +960,7 @@ def _merge_codewords(oracle: Gl2, codewords: List, coeffs: List[Gl2]) -> Gl2:
 
 def _interp_pairs(v):
     """[v0, v1] -> [v0, v1 - v0] per adjacent pair (one_level_interp_hc)."""
-    even = v[..., 0::2]
-    odd = v[..., 1::2]
+    even, odd = fops.deinterleave(v)
     d = fops.sub(odd, even)
     return _interleave(even, d)
 
@@ -980,15 +979,14 @@ def _interleave(a, b):
 
 def _fold_pairs(v, r: Gl2):
     """[c0, c1] pairs -> c0 + r*c1 (one_level_eval_hc)."""
-    c0 = v[..., 0::2]
-    c1 = v[..., 1::2]
+    c0, c1 = fops.deinterleave(v)
     return fops.add(fops.to_ext(c0), fops.mul(fops.to_ext(c1), r))
 
 
 def _pi_coeffs(evals, eq) -> Gl2:
     """Degree-2 round message in coefficient form (parallel_pi)."""
-    e0, e1 = evals[..., 0::2], evals[..., 1::2]
-    q0, q1 = eq[..., 0::2], eq[..., 1::2]
+    e0, e1 = fops.deinterleave(evals)
+    q0, q1 = fops.deinterleave(eq)
     c0 = fops.sum_reduce(fops.mul(e0, q0))
     c1 = fops.sum_reduce(fops.add(fops.mul(e1, q0), fops.mul(e0, q1)))
     c2 = fops.sum_reduce(fops.mul(e1, q1))
@@ -1040,8 +1038,7 @@ def _fold_codeword(oracle: Gl2, r: Gl2, x0: Gl, w: Gl) -> Gl2:
     if key not in _FOLD_CW_KERNELS:
 
         def go(o, r_, x0_, w_):
-            y0 = o[..., 0::2]
-            y1 = o[..., 1::2]
+            y0, y1 = fops.deinterleave(o)
             return _interp2(y0, y1, x0_, w_, r_)
 
         _FOLD_CW_KERNELS[key] = jax.jit(go)

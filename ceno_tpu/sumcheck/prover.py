@@ -41,6 +41,7 @@ max_degree+1 points by exact Lagrange interpolation at integer nodes
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, NamedTuple, Optional, Tuple
 
@@ -67,8 +68,7 @@ def _length(m) -> int:
 
 def _fold_last(m, r: Gl2):
     """Fold the lowest variable (last-axis pairs) at ext point r."""
-    lo = m[..., 0::2]
-    hi = m[..., 1::2]
+    lo, hi = fops.deinterleave(m)
     return fops.add(fops.mul(fops.sub(hi, lo), r), fops.to_ext(lo))
 
 
@@ -100,8 +100,9 @@ def _term_round_evals(factors, degree: int, max_degree: int) -> List[Gl2]:
         v = fops.to_ext(fops.sum_reduce(prod)) if prod.shape else fops.to_ext(prod)
         return [v] * (max_degree + 1)
 
-    evens = [f[..., 0::2] for f in factors]
-    odds = [f[..., 1::2] for f in factors]
+    pairs = [fops.deinterleave(f) for f in factors]
+    evens = [p[0] for p in pairs]
+    odds = [p[1] for p in pairs]
     diffs = [fops.sub(o, e) for o, e in zip(odds, evens)]
 
     def point_sum(vals):
@@ -289,6 +290,27 @@ def prove(
     if n == 0:
         return SumcheckProof([], []), [fops.to_ext(m) for m in poly.mles], ts
 
+    # Big uniform sumchecks route through the whole-prove fused program
+    # (one launch, scan-stage compile cost); see fused.py.  Byte-identical
+    # transcript — tests/test_sumcheck.py asserts equality of the paths.
+    # Default: on for accelerator backends only — XLA:CPU compiles the scan
+    # program pathologically slowly (~76 s for a tiny config vs ~25 s on the
+    # TPU for a 2^20 one), so CPU runs stay on the shared per-round kernels
+    # unless CENO_SUMCHECK_FUSED=1 opts in.
+    from . import fused as _fused
+
+    fused_env = os.environ.get("CENO_SUMCHECK_FUSED", "auto")
+    use_fused = fused_env == "1" or (
+        fused_env == "auto" and jax.default_backend() != "cpu"
+    )
+    if (
+        use_fused
+        and fused_env != "0"
+        and n >= _fused.FUSED_MIN_VARS
+        and _fused.can_fuse(poly)
+    ):
+        return _fused.fused_prove(poly, ts, num_shards=num_shards)
+
     T = num_shards
     assert T & (T - 1) == 0 and T >= 1
     logT = T.bit_length() - 1
@@ -325,8 +347,6 @@ def prove(
             mult = max(num_vars_phase - (log_len + round_1idx - 1), 0)
             out.append(_term_scale(term.coeff, mult))
         return out
-
-    import os
 
     chunk = int(os.environ.get("CENO_SUMCHECK_FUSE", "0")) or (1 << 30)
     # Below this round count, use the per-round shared kernels: a round

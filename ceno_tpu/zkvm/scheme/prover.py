@@ -72,8 +72,7 @@ def evaluate_columns(columns: Sequence, point: List[Gl2]) -> List[Gl2]:
         def run(cols, pt):
             stacked = fops.stack(list(cols), axis=0)  # (m, N)
             for r in pt:
-                lo = stacked[..., 0::2]
-                hi = stacked[..., 1::2]
+                lo, hi = fops.deinterleave(stacked)
                 stacked = fops.add(fops.mul(fops.sub(hi, lo), r), fops.to_ext(lo))
             return [stacked[i, 0] for i in range(m)]
 
