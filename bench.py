@@ -28,6 +28,15 @@ their own timings.
 Config knobs (env): CENO_BENCH_BUDGET_S (default 5400) — stop starting new
 configs past this; skipped configs are listed in the JSON so omissions are
 never silent. CENO_BENCH_ONLY=substr runs matching configs only.
+
+TIMING METHODOLOGY (changed in round 3): jax.block_until_ready does NOT
+synchronize on the axon TPU backend — it returns at enqueue time — so all
+numbers recorded by earlier rounds (BENCH_r01/r02) measured host enqueue
+latency, not device execution.  Every loop here now enqueues `runs`
+iterations and synchronizes ONCE via device_get of a small slice that
+data-depends on the full computation (see _block), subtracting the measured
+~23 ms fixed sync cost.  Round-3 numbers are therefore not comparable to
+r01/r02 — they are the first honest ones.
 """
 
 import json

@@ -1,25 +1,33 @@
 """Whole-prove fused devirgo sumcheck: ONE jitted program per (num_vars,
-term structure), built ENTIRELY from fixed-shape masked `lax.scan` stages.
+term structure), built ENTIRELY from fixed-shape masked `lax.scan` stages,
+with the fold axis living on TPU sublanes.
 
-Why this shape (measured on TPU v5e through the axon tunnel):
+Measured facts (TPU v5e through the axon tunnel) that shape this design:
 
-* per-program launch overhead is ~1 ms, and — critically — *top-level HLO
-  ops cost ~0.5-5 ms each at runtime* on this backend, while ops inside a
-  `lax.scan` body cost microseconds.  A fully unrolled 6-round prove
-  (~3k top-level ops) measured 280+ SECONDS of device time; the same
-  rounds as scan stages run in milliseconds.
-* XLA compile time scales with traced graph size: a scan body is traced
-  once, so a program of K stages compiles in ~K x 15 s instead of the ~19
-  minutes an unrolled 20-round program took.
+* per-program launch is ~1 ms and *top-level* HLO ops cost ~0.5-5 ms each
+  at runtime, while the same ops inside a `lax.scan` body cost
+  microseconds: a fully unrolled 6-round prove measured 280+ s of device
+  time; as scan stages it runs in milliseconds.  Everything, including the
+  header absorbs, therefore lives inside scans.
+* XLA compile time scales with traced graph size: scan bodies are traced
+  once, so a program of K stage bodies compiles in ~K x 15 s instead of the
+  ~19 minutes an unrolled 20-round program took.
+* adjacent-pair access along the LANE (minor) axis is a relayout pass:
+  lane-stride deinterleave of 12x4MB costs ~1.1 ms per round, the same
+  split along the SUBLANE axis costs ~30 us (38x).  So the hypercube is
+  stored TRANSPOSED — (T, S, 128) with the low log2(S) index bits on the
+  sublane axis — one transpose at entry instead of a relayout per round.
+  The last 7 variables (and the phase-2 shard merge) run in natural 1-D
+  layout, where arrays are tiny and stride cost is irrelevant.
 
-Structure: rounds run inside masked fixed-shape scans.  A stage covers S
-rounds at one buffer shape; the live prefix halves every round and is
-tracked by a mask (sums are exact — dead lanes are zeroed); between stages
-the buffer is sliced down to the live prefix, bounding the masked overhead
-by ~2x on each stage's traffic.  The round body is EVAL-FIRST: iteration j
-computes the round-(j+1) evaluations from the current buffer, absorbs them,
-samples the challenge, then folds — so no challenge threads across stage
-boundaries and round 1 needs no special case.
+A stage covers s rounds at one buffer shape; the live prefix halves every
+round and is tracked by a mask (sums are exact — dead rows are zeroed);
+between stages the buffer is sliced to the live prefix, bounding masked
+overhead by ~2x per stage.  The round body is EVAL-FIRST: iteration j
+computes round-(j+1) evaluations from the current buffer, absorbs them,
+samples the challenge, folds — the (even, odd) split is shared between the
+evaluations and the fold, and all terms' eval points are summed by ONE
+stacked masked reduction.
 
 Protocol/transcript layout is IDENTICAL to prover.prove (same absorbs, same
 challenge schedule — see prover.py and PROTOCOL.md); tests assert equality
@@ -30,7 +38,7 @@ of the two paths.  Reference protocol shape:
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +53,9 @@ from ..transcript import basic as tr
 # reuse the shared per-round kernels in prover.py, which amortize compiles
 # across the zkvm's many small tower layers)
 FUSED_MIN_VARS = int(os.environ.get("CENO_SUMCHECK_FUSED_MIN_VARS", "10"))
+
+LANES = 128
+LOG_LANES = 7
 
 
 def _length(m) -> int:
@@ -77,68 +88,92 @@ def _stage_plan(n_rounds: int) -> List[int]:
     return plan
 
 
-def _fold(m: Gl2, r: Gl2) -> Gl2:
-    lo, hi = fops.deinterleave(m)
-    return fops.add(fops.mul(fops.sub(hi, lo), r), lo)
+def _map4(f, m: Gl2):
+    return Gl2(
+        Gl(f(m.c0.lo), f(m.c0.hi)), Gl(f(m.c1.lo), f(m.c1.hi))
+    )
 
 
-def _dup(m: Gl2) -> Gl2:
-    """(T, H) -> (T, 2H) by duplication: keeps the scan buffer shape fixed;
-    the live prefix is tracked by the caller's mask."""
+def _deint_rows(m: Gl2) -> Tuple[Gl2, Gl2]:
+    """(T, S, C) -> even/odd adjacent ROW pairs (T, S/2, C) — sublane axis,
+    ~38x cheaper than the same split on the lane axis."""
+    shp = m.c0.lo.shape
 
-    def d(a):
-        return jnp.concatenate([a, a], axis=-1)
+    def e(a):
+        return a.reshape(shp[:-2] + (shp[-2] // 2, 2, shp[-1]))[..., 0, :]
 
-    return Gl2(Gl(d(m.c0.lo), d(m.c0.hi)), Gl(d(m.c1.lo), d(m.c1.hi)))
+    def o(a):
+        return a.reshape(shp[:-2] + (shp[-2] // 2, 2, shp[-1]))[..., 1, :]
+
+    return _map4(e, m), _map4(o, m)
 
 
-def _term_evals(factors, degree, max_degree, live_pairs) -> List[Gl2]:
-    """Round evals of one product term, summing only the first `live_pairs`
-    pairs (live_pairs: traced uint32 scalar; None = all live)."""
+def _deint_last(m: Gl2) -> Tuple[Gl2, Gl2]:
+    lo, hi = gl2.deinterleave(m)
+    return lo, hi
+
+
+def _dup(m: Gl2, axis: int) -> Gl2:
+    """Double along `axis` by duplication: keeps the scan buffer shape
+    fixed; the live prefix is tracked by the caller's mask."""
+    return _map4(lambda a: jnp.concatenate([a, a], axis=axis), m)
+
+
+def _stacked_round_evals(evens, odds, coeffs, factors, max_degree, mask):
+    """(max_degree+1,) coefficient-weighted round evals.
+
+    Every term's eval-point product is stacked into ONE array and reduced by
+    ONE masked column-sum — reductions are the dominant fusion count in the
+    round body, and this caps them at 8 u32 reduces per round regardless of
+    the number of terms."""
     from .prover import _lagrange_int_coeffs
 
-    pairs = [fops.deinterleave(f) for f in factors]
-    evens = [p[0] for p in pairs]
-    odds = [p[1] for p in pairs]
-    diffs = [gl2.sub(o, e) for o, e in zip(odds, evens)]
+    prods = []
+    spans = []  # (term index, degree) per stacked slot group
+    for fac in factors:
+        e_ = [evens[i] for i in fac]
+        o_ = [odds[i] for i in fac]
+        d_ = [gl2.sub(o, e) for o, e in zip(o_, e_)]
+        deg = len(fac)
 
-    h = _length(evens[0])
-    if live_pairs is not None:
-        idx = jax.lax.broadcasted_iota(jnp.uint32, (h, 1), 0)[:, 0]
-        mask = idx < live_pairs  # broadcasts over the leading shard axis
-    else:
-        mask = None
+        def prod(vals):
+            p = vals[0]
+            for v in vals[1:]:
+                p = gl2.mul(p, v)
+            return p
 
-    def point_sum(vals):
-        prod = vals[0]
-        for v in vals[1:]:
-            prod = gl2.mul(prod, v)
-        if mask is not None:
-            prod = gl2.select(mask, prod, gl2.zeros(prod.shape))
-        return gl2.sum_reduce(prod)
+        pts = [prod(e_), prod(o_)]
+        cur = o_
+        for _t in range(2, deg + 1):
+            cur = [gl2.add(c, d) for c, d in zip(cur, d_)]
+            pts.append(prod(cur))
+        spans.append(deg)
+        prods.extend(pts)
 
-    evals = [point_sum(evens), point_sum(odds)]
-    cur = odds
-    for _t in range(2, degree + 1):
-        cur = [gl2.add(c, d) for c, d in zip(cur, diffs)]
-        evals.append(point_sum(cur))
+    stacked = gl2.stack(prods)  # (K, ...)
+    if mask is not None:
+        stacked = gl2.select(mask, stacked, gl2.zeros(stacked.shape))
+    # ONE base-field column reduce over (2K, ...) — c0 rows then c1 rows —
+    # instead of separate c0/c1 reduces (reduction fusions dominate the
+    # round body's runtime; measured ~30% cheaper consolidated)
+    k = stacked.c0.lo.shape[0]
+    both = gl.concat([stacked.c0, stacked.c1], axis=0)
+    ssum = gl.sum_reduce(both.reshape(2 * k, -1), axis=1)  # (2K,)
+    sums = Gl2(ssum[:k], ssum[k:])
 
-    if degree < max_degree:
-        base = list(evals)
-        for at in range(degree + 1, max_degree + 1):
-            coeffs = _lagrange_int_coeffs(degree + 1, at)
-            acc = gl2.zeros(())
-            for c, e in zip(coeffs, base):
-                acc = gl2.add(acc, gl2.mul(e, gl2.const(c)))
-            evals.append(acc)
-    return evals
-
-
-def _round_evals(mles, coeffs, factors, max_degree, live_pairs) -> Gl2:
     total: List[Optional[Gl2]] = [None] * (max_degree + 1)
-    for coeff, fac in zip(coeffs, factors):
-        fs = [mles[i] for i in fac]
-        evals = _term_evals(fs, len(fac), max_degree, live_pairs)
+    at = 0
+    for coeff, deg in zip(coeffs, spans):
+        evals = [sums[at + t] for t in range(deg + 1)]
+        at += deg + 1
+        if deg < max_degree:
+            base = list(evals)
+            for a in range(deg + 1, max_degree + 1):
+                cs = _lagrange_int_coeffs(deg + 1, a)
+                acc = gl2.zeros(())
+                for c, e in zip(cs, base):
+                    acc = gl2.add(acc, gl2.mul(e, gl2.const(c)))
+                evals.append(acc)
         for t in range(max_degree + 1):
             v = gl2.mul(evals[t], coeff)
             total[t] = v if total[t] is None else gl2.add(total[t], v)
@@ -149,35 +184,63 @@ def _u64_elem(v: int) -> Gl:
     return gl.from_u64(np.asarray([v], dtype=np.uint64))
 
 
-def _build_program(n, T, factors, max_degree, stage_plan):
-    """Trace-time program builder.  Static: n, T, factors, degree, plan."""
+def _build_program(n, T, factors, max_degree, plan_2d, plan_1d):
+    """Trace-time program builder.  Static: n, T, factors, degree, plans."""
     logT = T.bit_length() - 1
     n_local = n - logT
+    n_2d = sum(plan_2d)
 
-    def round_body(bufs, ts, coeffs, live_pairs):
-        evals = _round_evals(bufs, coeffs, factors, max_degree, live_pairs)
-        ts = tr.absorb_exts(ts, evals)
-        ts, challenge = tr.get_and_append_challenge(ts, b"Internal round")
-        bufs = [_dup(_fold(b, challenge)) for b in bufs]
-        return bufs, ts, evals, challenge
+    def absorb_round(ts, evals):
+        # unrolled absorb (max_degree+1 <= 4 elements): tr.absorb_exts uses
+        # a nested lax.scan, whose per-entry setup costs more than tracing
+        # the few permutes inline inside the (already-scanned) round body
+        for t in range(max_degree + 1):
+            ts = tr.absorb_ext(ts, evals[t])
+        return tr.get_and_append_challenge(ts, b"Internal round")
 
-    def run_stage(mles, ts, coeffs, live: int, s: int):
-        """s rounds at fixed shape; live = live prefix at stage entry."""
+    def run_stage(mles, ts, coeffs, live: int, s: int, rows: bool):
+        """s rounds at a fixed shape.  rows=True: pairs on the sublane axis
+        of (T, S, C) buffers, live counts S-rows; rows=False: pairs on the
+        last axis of (T, L) buffers, live counts elements."""
 
         def body(carry, live_pairs):
             bufs, ts_c = carry
-            bufs, ts2, evals, challenge = round_body(
-                bufs, ts_c, coeffs, live_pairs
+            if rows:
+                pairs = [_deint_rows(b) for b in bufs]
+                idx = jax.lax.broadcasted_iota(
+                    jnp.uint32, (live_pairs_shape, 1), 0
+                )
+                mask = (idx < live_pairs)[None, :, :]  # (1, S/2, 1)
+            else:
+                pairs = [_deint_last(b) for b in bufs]
+                idx = jax.lax.broadcasted_iota(
+                    jnp.uint32, (live_pairs_shape, 1), 0
+                )[:, 0]
+                mask = idx < live_pairs  # (L/2,)
+            evens = [p[0] for p in pairs]
+            odds = [p[1] for p in pairs]
+            evals = _stacked_round_evals(
+                evens, odds, coeffs, factors, max_degree, mask
             )
-            return (bufs, ts2), (evals, challenge)
+            ts2, ch = absorb_round(ts_c, evals)
+            axis = -2 if rows else -1
+            bufs2 = [
+                _dup(gl2.add(e, gl2.mul(gl2.sub(o, e), ch)), axis)
+                for e, o in zip(evens, odds)
+            ]
+            return (bufs2, ts2), (evals, ch)
 
+        shp = mles[0].c0.lo.shape
+        live_pairs_shape = (shp[-2] if rows else shp[-1]) // 2
         live_pairs = jnp.asarray(
             [live >> (j + 1) for j in range(s)], dtype=jnp.uint32
         )
         (mles, ts), (evs, chs) = jax.lax.scan(body, (mles, ts), live_pairs)
-        # slice to the live prefix for the next stage
         keep = live >> s
-        mles = [m[..., :keep] for m in mles]
+        if rows:
+            mles = [_map4(lambda a: a[..., :keep, :], m) for m in mles]
+        else:
+            mles = [m[..., :keep] for m in mles]
         return mles, ts, evs, chs
 
     def prog(mles, coeffs, ts):
@@ -189,21 +252,59 @@ def _build_program(n, T, factors, max_degree, stage_plan):
 
         ts, _ = jax.lax.scan(hdr, ts, None, length=1)
 
-        mles = [fops.to_ext(m) for m in mles]
+        def entry_transform(*ms):
+            out = [fops.to_ext(m) for m in ms]
+            if plan_2d:
+                S = 1 << (n_local - LOG_LANES)
+                # (T, L) -> (T, C, S): i = c*S + s, then swap to (T, S, C)
+                out = [
+                    _map4(
+                        lambda a: jnp.swapaxes(a.reshape(T, LANES, S), -1, -2),
+                        m,
+                    )
+                    for m in out
+                ]
+            return tuple(out)
+
+        # run the entry relayout inside a length-1 scan: measured ~3.6x
+        # cheaper than the same transposes at program top level
+        def entry_body(c, _):
+            return c, entry_transform(*c)
+
+        _, ys = jax.lax.scan(entry_body, tuple(mles), None, length=1)
+        mles = [jax.tree_util.tree_map(lambda a: a[0], m) for m in ys]
         ev_parts, ch_parts = [], []
 
-        live = 1 << n_local
-        for s in stage_plan:
-            mles, ts, evs, chs = run_stage(mles, ts, coeffs, live, s)
+        # ---- 2-D rounds: low index bits on the sublane axis --------------
+        if plan_2d:
+            live = 1 << (n_local - LOG_LANES)
+            for s in plan_2d:
+                mles, ts, evs, chs = run_stage(
+                    mles, ts, coeffs, live, s, rows=True
+                )
+                ev_parts.append(evs)
+                ch_parts.append(chs)
+                live >>= s
+            # collapse (T, 1, C) -> natural (T, C) for the lane tail
+            mles = [_map4(lambda a: a[..., 0, :], m) for m in mles]
+
+        # ---- 1-D tail: last LOG_LANES (or all, when n_local small) -------
+        live = 1 << (n_local - n_2d)
+        for s in plan_1d:
+            mles, ts, evs, chs = run_stage(
+                mles, ts, coeffs, live, s, rows=False
+            )
             ev_parts.append(evs)
             ch_parts.append(chs)
             live >>= s
 
-        # phase 2: merge per-shard scalars into a logT-var poly
+        # ---- phase 2: merge per-shard scalars into a logT-var poly -------
         # (merge_sumcheck_polys_v2, sumcheck/src/util.rs:224+)
         if logT:
             mles = [m[..., 0].reshape(1, T) for m in mles]
-            mles, ts, evs, chs = run_stage(mles, ts, coeffs, T, logT)
+            mles, ts, evs, chs = run_stage(
+                mles, ts, coeffs, T, logT, rows=False
+            )
             ev_parts.append(evs)
             ch_parts.append(chs)
 
@@ -267,14 +368,18 @@ def fused_prove(poly, ts: tr.TranscriptState, num_shards: int = 1):
     assert logT < n
     assert can_fuse(poly)
 
+    n_local = n - logT
+    n_2d = max(n_local - LOG_LANES, 0)
+    plan_2d = tuple(_stage_plan(n_2d)) if n_2d else ()
+    plan_1d = tuple(_stage_plan(n_local - n_2d))
+
     factors = tuple(t.factors for t in poly.terms)
     max_degree = poly.max_degree
     dtypes = tuple(isinstance(m, Gl2) for m in poly.mles)
-    plan = tuple(_stage_plan(n - logT))
-    key = (n, T, factors, max_degree, dtypes, plan)
+    key = (n, T, factors, max_degree, dtypes, plan_2d, plan_1d)
     if key not in _PROGRAMS:
         _PROGRAMS[key] = jax.jit(
-            _build_program(n, T, factors, max_degree, plan)
+            _build_program(n, T, factors, max_degree, plan_2d, plan_1d)
         )
 
     mles = [m.reshape(T, _length(m) // T) for m in poly.mles]

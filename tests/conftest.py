@@ -59,22 +59,17 @@ if not _tpus:
     # CPU-only environment (e.g. the driver's multichip dry-run box): pin to
     # one CPU device to avoid confusion with the virtual mesh.
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
-    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
-        # pure-local CPU compiles (no axon remote-compile service in the
-        # process): persist them so the full-VM tests run warm.  Kept in a
-        # separate dir from the TPU cache — the TPU-only caveat below is
-        # about remote-compiled blobs, which cannot appear here.
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-else:
-    # Compiles go through the TPU tunnel (~1-30s per program); persist them.
-    # NOTE: TPU-only — CPU compiles can be served by a remote compile service
-    # with mismatched machine features, and reloading those AOT blobs
-    # hangs/SIGILLs.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+# Persist compiles (TPU programs go through the tunnel, ~1-30s each; CPU
+# programs compile in up to minutes on this 1-core host).  ONE dir for both
+# backends — entries are platform-keyed, and jax's cache singleton
+# initializes on first use so later dir switches silently don't apply.
+# CPU entries may come from the axon remote compile service with extra
+# tuning flags; observed to load and run correctly here (cosmetic
+# machine-features warning only).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def cpu_mesh_devices(n: int = 8):

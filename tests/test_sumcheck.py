@@ -145,3 +145,40 @@ def test_fused_phase_matches_per_round(monkeypatch):
         zip(evals_ref, evals_chunk)
     )
     assert all_equal(pairs)
+
+
+def test_scan_fused_prover_matches_per_round(monkeypatch):
+    """The all-scan whole-prove program (sumcheck/fused.py) must emit the
+    exact same round evals / challenges / final evals / transcript state as
+    the per-round path, including shards (phase 2) and mixed-degree terms.
+
+    XLA:CPU compiles the scan program pathologically slowly (~80 s), so on
+    CPU-only boxes this runs one small config; with a TPU attached it is
+    seconds after the first compile (persistent cache)."""
+    on_cpu = jax.default_backend() == "cpu"
+    rng = np.random.default_rng(31)
+    monkeypatch.setenv("CENO_SUMCHECK_FUSED_MIN_VARS", "4")
+
+    configs = [(6, 2)] if on_cpu else [(6, 2), (8, 4)]
+    for n, T in configs:
+        vp = VirtualPoly(n)
+        m = [rand_gl(rng, 1 << n) for _ in range(3)]
+        vp.add_mle_list(m, coeff=7)
+        vp.add_mle_list(m[:2], coeff=13)
+
+        monkeypatch.setenv("CENO_SUMCHECK_FUSED", "0")
+        proof_ref, evals_ref, ts_ref = prove(vp, tr.new(b"scanf"), num_shards=T)
+        monkeypatch.setenv("CENO_SUMCHECK_FUSED", "1")
+        proof_f, evals_f, ts_f = prove(vp, tr.new(b"scanf"), num_shards=T)
+
+        pairs = (
+            list(zip(proof_ref.round_evals, proof_f.round_evals))
+            + list(zip(proof_ref.point, proof_f.point))
+            + list(zip(evals_ref, evals_f))
+        )
+        assert all_equal(pairs)
+        assert (gl.to_u64(ts_ref.state) == gl.to_u64(ts_f.state)).all()
+
+        claimed = vp.sum_over_hypercube()
+        subclaim, _ = verify(claimed, proof_f, n, 3, tr.new(b"scanf"))
+        check(subclaim)
