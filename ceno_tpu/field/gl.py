@@ -390,9 +390,14 @@ def _col_sum_last(lo, hi) -> Gl:
 def deinterleave(a: Gl) -> Tuple["Gl", "Gl"]:
     """(even, odd) adjacent pairs along the last axis.
 
-    Implemented as reshape(..., n/2, 2) + unit-index — XLA lowers this to a
-    relayout, ~12x faster on TPU than the strided slices a[0::2]/a[1::2]."""
-    shp = a.lo.shape[:-1] + (a.lo.shape[-1] // 2, 2)
-    lo = a.lo.reshape(shp)
-    hi = a.hi.reshape(shp)
-    return Gl(lo[..., 0], hi[..., 0]), Gl(lo[..., 1], hi[..., 1])
+    Strided slices on purpose: the tempting reshape(..., n/2, 2) +
+    unit-index form is faster when it fuses, but if XLA materializes the
+    intermediate, the trailing 2-wide axis is tiled out to 128 lanes — a
+    64x allocation blowup (observed as a 23.6 GB OOM).  Hot loops that need
+    cheap pair access restructure the layout instead (sumcheck/fused.py
+    keeps the pair axis on sublanes with a 128-lane minor axis)."""
+    n = a.lo.shape[-1]
+    return (
+        Gl(a.lo[..., 0:n:2], a.hi[..., 0:n:2]),
+        Gl(a.lo[..., 1:n:2], a.hi[..., 1:n:2]),
+    )

@@ -70,13 +70,45 @@ def hash_leaf_layer(polys: List) -> Gl:
     return poseidon.two_to_one(poseidon.hash_or_noop(even), poseidon.hash_or_noop(odd))
 
 
+# Upper layers narrower than this are built inside ONE masked lax.scan:
+# an unrolled log2(n)-layer chain is ~240 HLO ops per layer, which both
+# explodes XLA compile time (CPU pathologically so) and pays the axon
+# backend's per-top-level-op runtime cost (see PERF.md).
+_SCAN_LAYER_W = 1 << 10
+
+
 def build_layers(polys) -> List[Gl]:
     """Pure digest-layer construction (traceable): inner[0] = bottom pair
     digests (4, n/2) ... inner[-1] = root (4, 1)."""
+    import jax
+
     layers = [hash_leaf_layer(polys)]
-    while layers[-1].lo.shape[1] > 1:
+    # wide layers: one batched compression each (bandwidth-bound)
+    while layers[-1].lo.shape[1] > _SCAN_LAYER_W:
         cur = layers[-1]
         layers.append(poseidon.two_to_one(*gl.deinterleave(cur)))
+
+    w0 = layers[-1].lo.shape[1]
+    if w0 <= 1:
+        return layers
+
+    # narrow tail: ONE fixed-width masked scan; iteration j compresses the
+    # live prefix w0 >> j and re-pads (garbage beyond the prefix is never
+    # read — each returned layer is sliced to its true width)
+    n_tail = w0.bit_length() - 1
+
+    def body(cur, _):
+        e, o = gl.deinterleave(cur)
+        d = poseidon.two_to_one(e, o)  # (4, w/2) live prefix halves
+        padded = Gl(
+            jnp.concatenate([d.lo, d.lo], axis=1),
+            jnp.concatenate([d.hi, d.hi], axis=1),
+        )
+        return padded, padded
+
+    _, ys = jax.lax.scan(body, layers[-1], None, length=n_tail)
+    for j in range(n_tail):
+        layers.append(Gl(ys.lo[j, :, : w0 >> (j + 1)], ys.hi[j, :, : w0 >> (j + 1)]))
     return layers
 
 

@@ -72,7 +72,13 @@ def evaluate_columns(columns: Sequence, point: List[Gl2]) -> List[Gl2]:
         def run(cols, pt):
             stacked = fops.stack(list(cols), axis=0)  # (m, N)
             for r in pt:
-                lo, hi = fops.deinterleave(stacked)
+                # strided slices, NOT fops.deinterleave: the (m, N/2, 2)
+                # reshape materializes TILED on TPU — the trailing 2-axis
+                # pads to 128 lanes, a 64x allocation blowup (observed as a
+                # 23.6 GB OOM at m=22, N=2^21).  This chain runs once per
+                # opcode proof; stride cost is acceptable.
+                lo = stacked[..., 0::2]
+                hi = stacked[..., 1::2]
                 stacked = fops.add(fops.mul(fops.sub(hi, lo), r), fops.to_ext(lo))
             return [stacked[i, 0] for i in range(m)]
 
