@@ -1,3 +1,4 @@
+from .basecode import Basecode, BasecodeSpec
 from .encoding import RSCode, RSSpec
 from .basefold import (
     Basefold,
@@ -7,6 +8,8 @@ from .basefold import (
 )
 
 __all__ = [
+    "Basecode",
+    "BasecodeSpec",
     "RSCode",
     "RSSpec",
     "Basefold",
