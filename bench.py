@@ -403,6 +403,31 @@ def main():
     configs = {}
     skipped = []
 
+    def emit(partial=False):
+        head = configs.get("sumcheck_nv20_deg3", {})
+        print(json.dumps({
+            "metric": "sumcheck_nv20_deg3_field_mul_rate",
+            "value": head.get("field_mul_rate_Mmul_s"),
+            "unit": "Mmul/s",
+            "vs_baseline": head.get("seconds_per_prove"),
+            "configs": configs,
+            "skipped": skipped,
+            **({"partial": True} if partial else {}),
+        }), flush=True)
+
+    def on_term(signum, frame):
+        # the driver kills long runs with SIGTERM: deliver what we measured
+        # instead of dying silently with no JSON line
+        _log(f"signal {signum}: emitting partial results")
+        skipped.append("(killed)")
+        emit(partial=True)
+        os._exit(0)
+
+    import signal
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
     def run(name, fn, *a, **kw):
         if only and only not in name:
             return
@@ -427,15 +452,7 @@ def main():
     run("add_opcode_2e20", bench_add_opcode, 20)
     run("fibonacci_elf_2e20_truncated", bench_fib_elf, 1 << 20, True)
 
-    head = configs.get("sumcheck_nv20_deg3", {})
-    print(json.dumps({
-        "metric": "sumcheck_nv20_deg3_field_mul_rate",
-        "value": head.get("field_mul_rate_Mmul_s"),
-        "unit": "Mmul/s",
-        "vs_baseline": head.get("seconds_per_prove"),
-        "configs": configs,
-        "skipped": skipped,
-    }))
+    emit()
 
 
 if __name__ == "__main__":
