@@ -421,7 +421,7 @@ def main():
         _log(f"signal {signum}: emitting partial results")
         skipped.append("(killed)")
         emit(partial=True)
-        os._exit(0)
+        os._exit(128 + signum)  # nonzero: a killed run is not a clean pass
 
     import signal
 

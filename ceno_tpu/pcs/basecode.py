@@ -64,10 +64,9 @@ def _philox_field_elements(seed: bytes, n: int) -> np.ndarray:
     byte-sampling has the same property).  Zeros are remapped to 1 so every
     table element is invertible (probability 2^-64 per element; the
     reference does not guard this at all)."""
-    words = np.frombuffer(seed[:32].ljust(32, b"\0"), dtype=np.uint64)
-    # Philox keys are 2x u64; fold the 4-word seed down by XOR so every
-    # seed byte influences the stream
-    bitgen = np.random.Philox(key=words[:2] ^ words[2:])
+    # SeedSequence hashes all 32 bytes injectively into the Philox key, so
+    # distinct seeds produce distinct streams (no XOR-fold collisions)
+    bitgen = np.random.Philox(np.random.SeedSequence(list(seed[:32].ljust(32, b"\0"))))
     raw = np.random.Generator(bitgen).integers(
         0, 2**64, size=n, dtype=np.uint64, endpoint=False
     )
@@ -79,10 +78,14 @@ def _philox_field_elements(seed: bytes, n: int) -> np.ndarray:
 class Basecode:
     """Encoding-scheme instance for messages up to 2^full_msg_log.
 
-    Duck-type-compatible with RSCode (encode / fold_table / fold_gather) so
-    the PCS can swap codes; ``is_left_right`` tells the consumer that
-    message folding pairs (m[i], m[i + len/2]) rather than even/odd
-    (encoding.rs:54-61)."""
+    Duck-type-compatible with RSCode (encode / fold_table / fold_gather);
+    ``Basefold(BasecodeSpec(...))`` selects this code (the reference's
+    BasefoldBasecodeParams).  ``is_left_right`` tells Basefold the message
+    folds pairs (m[i], m[i + len/2]) rather than even/odd
+    (encoding.rs:54-61): Basefold then skips the coefficient bit-reversal
+    at commit and the final-message bit-reversal at verify
+    (basefold.rs:130, query_phase.rs:162); round-trip + tamper tests in
+    tests/test_basefold.py::test_basecode_*."""
 
     is_left_right = True
 
@@ -102,10 +105,17 @@ class Basecode:
 
     def level(self, l: int) -> Gl:
         """Natural-order level-l diagonal: flat[2^l : 2^(l+1)] (l >= 1);
-        level 0 is flat[1:2] (basecode.rs:374-387 get_table_aes layout)."""
+        level 0 is flat[1:2] (basecode.rs:374-387 get_table_aes layout).
+
+        Built under ensure_compile_time_eval: encode() runs inside jit
+        traces (Basefold.commit), and lazily caching a traced constant
+        would leak a tracer into later traces."""
+        import jax
+
         if l not in self._levels:
             lo, hi = (1, 2) if l == 0 else (1 << l, 1 << (l + 1))
-            self._levels[l] = gl.from_u64(self._flat[lo:hi])
+            with jax.ensure_compile_time_eval():
+                self._levels[l] = gl.from_u64(self._flat[lo:hi])
         return self._levels[l]
 
     def fold_table(self, level: int) -> Tuple[Gl, Gl]:
@@ -113,15 +123,18 @@ class Basecode:
         2^level.  x0 is the BIT-REVERSED level table (basecode.rs:381-385),
         w = -1/(2 x0) computed once on device (batch inversion analog of
         basecode.rs:355-360)."""
-        if level not in self._fold_tables:
-            x0 = self.level(level)
-            if level > 0:
-                x0 = ntt.bitrev(x0)
-            from ..field import fops
+        import jax
 
-            denom = fops.neg(gl.add(x0, x0))  # -2 x0
-            w = gl.inv(denom)
-            self._fold_tables[level] = (x0, w)
+        if level not in self._fold_tables:
+            with jax.ensure_compile_time_eval():
+                x0 = self.level(level)
+                if level > 0:
+                    x0 = ntt.bitrev(x0)
+                from ..field import fops
+
+                denom = fops.neg(gl.add(x0, x0))  # -2 x0
+                w = gl.inv(denom)
+                self._fold_tables[level] = (x0, w)
         return self._fold_tables[level]
 
     def fold_gather(self, level: int, pair_indices: np.ndarray) -> Tuple[Gl, Gl]:
@@ -135,11 +148,14 @@ class Basecode:
     def _vander(self, lg_m: int) -> Gl:
         """(2^lg_m * rate,) x (2^lg_m) is avoided: Horner needs only the
         domain row [1, 2, ..., m*rate] (basecode.rs:230 ``steps(F::ONE)``)."""
+        import jax
+
         if lg_m not in self._vandermonde:
             m = 1 << (lg_m + self.spec.rate_log)
-            self._vandermonde[lg_m] = gl.from_u64(
-                np.arange(1, m + 1, dtype=np.uint64)
-            )
+            with jax.ensure_compile_time_eval():
+                self._vandermonde[lg_m] = gl.from_u64(
+                    np.arange(1, m + 1, dtype=np.uint64)
+                )
         return self._vandermonde[lg_m]
 
     # -- encode ------------------------------------------------------------
@@ -188,8 +204,11 @@ class Basecode:
 
         if not use_jit:
             return run(coeffs)
+        # key on stable identity, not id(self): (seed, spec, full_msg_log)
+        # fully determine the closed-over tables, and ids are recycled by GC
         return cached_jit(
-            ("basecode_encode", id(self), k, isinstance(coeffs, Gl)),
+            ("basecode_encode", self.seed, self.spec, self.full_msg_log, k,
+             isinstance(coeffs, Gl)),
             lambda: run,
         )(coeffs)
 

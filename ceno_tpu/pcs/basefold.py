@@ -115,12 +115,30 @@ class BasefoldProof(NamedTuple):
 
 
 class Basefold:
-    """PCS instance for a fixed spec and maximum message size."""
+    """PCS instance for a fixed spec and maximum message size.
 
-    def __init__(self, spec: RSSpec = RSSpec(), max_num_vars: int = 24):
+    ``spec`` selects the encoding: RSSpec -> Reed-Solomon (the reference's
+    default, BasefoldRSParams), BasecodeSpec -> the random foldable code
+    (BasefoldBasecodeParams, basefold/structure.rs:230-259).  The only
+    protocol difference between the two is the message-fold convention
+    (basefold.rs:118-136): even-odd codes bit-reverse the coefficient
+    vector before encoding, left-right codes (Basecode) do not; the
+    verifier's final-message re-encode mirrors this (query_phase.rs:162)."""
+
+    def __init__(self, spec=RSSpec(), max_num_vars: int = 24):
         self.spec = spec
         self.max_num_vars = max_num_vars
-        self.code = RSCode(spec, max_num_vars)
+        if isinstance(spec, RSSpec):
+            self.code = RSCode(spec, max_num_vars)
+        else:
+            from .basecode import Basecode, BasecodeSpec
+
+            assert isinstance(spec, BasecodeSpec), spec
+            self.code = Basecode(spec, max_num_vars)
+        # left-right codes fold message pairs (m[i], m[i+n/2]); bit-reversal
+        # maps those to adjacent pairs, so the fold kernels are shared and
+        # only the two bitrev points below differ
+        self._lr = bool(getattr(self.code, "is_left_right", False))
 
     # -- commit ------------------------------------------------------------
 
@@ -169,9 +187,12 @@ class Basefold:
         return BasefoldCommitmentWithWitness(tree, bh, num_vars, is_base, False)
 
     def _encode_poly(self, evals, use_jit: bool = True):
-        """interpolate -> bitrev -> encode -> bitrev (basefold.rs:110-156)."""
+        """interpolate -> [bitrev if even-odd code] -> encode -> bitrev
+        (basefold.rs:110-156; the coefficient bitrev is the even-odd-fold
+        compensation, skipped for left-right codes like Basecode)."""
         coeffs = ntt.interpolate_over_hypercube(evals) if not use_jit else ntt.interpolate_jit(evals)
-        coeffs = ntt.bitrev(coeffs)
+        if not self._lr:
+            coeffs = ntt.bitrev(coeffs)
         cw = self.code.encode(coeffs, use_jit=use_jit)
         return ntt.bitrev(cw)
 
@@ -631,7 +652,7 @@ class Basefold:
         def check_builder():
             def run(roots_c, opens, msgs, roots, final_message, fcoeffs,
                     fchal, sc_expected, sc_ok, pt, tables, idx):
-                fm = ntt.bitrev(final_message)
+                fm = final_message if self._lr else ntt.bitrev(final_message)
                 fm = ntt.interpolate_over_hypercube(fm)
                 final_codeword = ntt.bitrev(self.code.encode(fm, use_jit=False))
 
@@ -795,9 +816,10 @@ class Basefold:
         def check_builder():
             def run(root, opens, msgs, roots, final_message, pt, evs,
                     bcoeffs, fchal, tables, idx):
-                # re-encode the final message (verifier convention: bitrev ->
-                # interpolate -> encode -> bitrev; query_phase.rs:1349-1371)
-                fm = ntt.bitrev(final_message)
+                # re-encode the final message (verifier convention: [bitrev
+                # if even-odd code] -> interpolate -> encode -> bitrev;
+                # query_phase.rs:162-171)
+                fm = final_message if self._lr else ntt.bitrev(final_message)
                 fm = ntt.interpolate_over_hypercube(fm)
                 final_codeword = ntt.bitrev(self.code.encode(fm, use_jit=False))
 

@@ -73,21 +73,26 @@ class RSCode:
     def fold_table(self, level: int) -> Tuple[Gl, Gl]:
         """(x0, w) vectors of length 2^level, indexed by the pair index in
         the bit-reversed codeword (rs.rs prover_folding_coeffs)."""
+        import jax
+
         if level not in self._fold_tables:
-            g_exp = 1 << (self.full_codeword_log - level - 1)
-            gamma_pow = pow(ntt.GENERATOR, g_exp, P)
-            gamma_pow_inv = pow(gamma_pow, P - 2, P)
-            om = pow(ntt.root_of_unity(level + 1), 1, P)
-            om_inv = pow(om, P - 2, P)
-            pw = _pow2_powers_device(om, level)
-            pw_inv = _pow2_powers_device(om_inv, level)
-            pw = ntt.bitrev(pw) if level > 0 else pw
-            pw_inv = ntt.bitrev(pw_inv) if level > 0 else pw_inv
-            x0 = gl.mul(pw, gl.full(pw.shape, gamma_pow))
-            # w = -1/2 * gamma^-(...) * om^-bitrev(i)
-            w_const = (P - HALF) * gamma_pow_inv % P
-            w = gl.mul(pw_inv, gl.full(pw_inv.shape, w_const))
-            self._fold_tables[level] = (x0, w)
+            # never cache a traced constant (callers may reach this from
+            # inside a jit trace; a cached tracer would leak across traces)
+            with jax.ensure_compile_time_eval():
+                g_exp = 1 << (self.full_codeword_log - level - 1)
+                gamma_pow = pow(ntt.GENERATOR, g_exp, P)
+                gamma_pow_inv = pow(gamma_pow, P - 2, P)
+                om = pow(ntt.root_of_unity(level + 1), 1, P)
+                om_inv = pow(om, P - 2, P)
+                pw = _pow2_powers_device(om, level)
+                pw_inv = _pow2_powers_device(om_inv, level)
+                pw = ntt.bitrev(pw) if level > 0 else pw
+                pw_inv = ntt.bitrev(pw_inv) if level > 0 else pw_inv
+                x0 = gl.mul(pw, gl.full(pw.shape, gamma_pow))
+                # w = -1/2 * gamma^-(...) * om^-bitrev(i)
+                w_const = (P - HALF) * gamma_pow_inv % P
+                w = gl.mul(pw_inv, gl.full(pw_inv.shape, w_const))
+                self._fold_tables[level] = (x0, w)
         return self._fold_tables[level]
 
     def fold_gather(self, level: int, pair_indices: np.ndarray) -> Tuple[Gl, Gl]:

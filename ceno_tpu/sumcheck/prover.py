@@ -301,7 +301,7 @@ def prove(
 
     fused_env = os.environ.get("CENO_SUMCHECK_FUSED", "auto")
     use_fused = fused_env == "1" or (
-        fused_env == "auto" and jax.default_backend() != "cpu"
+        fused_env == "auto" and not _on_cpu(poly.mles)
     )
     if (
         use_fused
@@ -402,3 +402,23 @@ def prove(
 
 def _u64_elem(v: int) -> Gl:
     return gl.from_u64(np.asarray([v], dtype=np.uint64))
+
+
+def _on_cpu(mles) -> bool:
+    """True when the MLE data lives on CPU devices.
+
+    The fused-path heuristic must key on where the arrays ARE, not on
+    jax.default_backend(): under the axon plugin the default backend is the
+    tunneled TPU even when the caller sharded everything over a virtual CPU
+    mesh (the driver's multichip dryrun) — routing that case through the
+    fused scan program would hit XLA:CPU's pathological scan compile times
+    (PERF.md)."""
+    for m in mles:
+        for leaf in jax.tree_util.tree_leaves(m):
+            devs = getattr(leaf, "devices", None)
+            if callable(devs):
+                try:
+                    return all(d.platform == "cpu" for d in devs())
+                except Exception:
+                    break
+    return jax.default_backend() == "cpu"

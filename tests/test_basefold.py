@@ -103,3 +103,38 @@ def test_wrong_eval_rejected():
     ok = pcs.simple_batch_verify(comm, point, bad_evals, proof, tv)
     with pytest.raises(ValueError):
         check(ok)
+
+
+# -- Basecode-in-Basefold (left-right code integration) ----------------------
+
+
+def test_basecode_roundtrip():
+    """Basefold over the Basecode foldable code (BasefoldBasecodeParams
+    analog, basefold/structure.rs:247-259): commit/open/verify round trip
+    plus tamper rejection, exercising the left-right message-fold gates in
+    _encode_poly and the verifier re-encode (basefold.rs:130,
+    query_phase.rs:162)."""
+    from ceno_tpu.pcs.basecode import BasecodeSpec
+
+    rng = np.random.default_rng(47)
+    spec = BasecodeSpec(num_queries=9, rate_log=1, basecode_msg_size_log=1)
+    pcs = Basefold(spec, max_num_vars=8)
+    polys = [rand_gl(rng, 1 << 5) for _ in range(2)]
+    open_and_verify(pcs, polys, 5, seed=3)
+
+
+def test_basecode_tamper_rejected():
+    from ceno_tpu.pcs.basecode import BasecodeSpec
+
+    rng = np.random.default_rng(53)
+    spec = BasecodeSpec(num_queries=9, rate_log=1, basecode_msg_size_log=1)
+    pcs = Basefold(spec, max_num_vars=8)
+    polys = [rand_gl(rng, 1 << 4)]
+
+    def tamper(proof):
+        fm = proof.final_message
+        bumped = gl2.add(fm, gl2.ones(fm.c0.lo.shape))
+        return proof._replace(final_message=bumped)
+
+    with pytest.raises(ValueError):
+        open_and_verify(pcs, polys, 4, seed=4, tamper=tamper)
