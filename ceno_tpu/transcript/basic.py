@@ -70,29 +70,66 @@ def absorb_ext(ts: TranscriptState, e: Gl2) -> TranscriptState:
 
 
 def absorb_exts(ts: TranscriptState, es: Gl2) -> TranscriptState:
-    """Absorb a (n,)-shaped vector of extension elements, one permute each
-    (matches the reference's per-element loop).
+    """Absorb a (n,)-shaped vector of extension elements RATE-CHUNKED: the
+    2n base coefficients [c0_0, c1_0, c0_1, c1_1, ...] overwrite up to
+    SPONGE_RATE lanes per permute (PROTOCOL.md section 2).
 
-    Expressed as a lax.scan over the elements so a traced caller (e.g. the
-    fused sumcheck phase kernels) emits ONE absorb body instead of n unrolled
-    permutation graphs — semantics identical to the sequential loop."""
+    TPU protocol amendment (deviation #13): the reference permutes once per
+    element (transcript/src/basic.rs append loop).  The scalar Poseidon
+    permutation is a ~30-step sequential latency chain — on TPU it is the
+    dominant fixed cost of every sumcheck round — so this build absorbs at
+    the sponge's full rate: a degree-3 round's 4 evaluations cost ONE
+    permute instead of four.  Standard duplex sponge; same data absorbed;
+    prover and verifier share this helper so the Fiat-Shamir challenges
+    stay consistent everywhere."""
     import jax
+
+    from ..hash.poseidon_constants import SPONGE_RATE
 
     n = es.c0.lo.shape[0]
     if n == 1:
         return absorb_ext(ts, es[0])
 
-    def body(state: Gl, e):
-        c0lo, c0hi, c1lo, c1hi = e
-        st = Gl(
-            jnp.concatenate([jnp.stack([c0lo, c1lo]), state.lo[2:]]),
-            jnp.concatenate([jnp.stack([c0hi, c1hi]), state.hi[2:]]),
+    # interleave to (2n,) base coefficients: [c0_0, c1_0, c0_1, c1_1, ...]
+    flat = Gl(
+        jnp.stack([es.c0.lo, es.c1.lo], axis=1).reshape(-1),
+        jnp.stack([es.c0.hi, es.c1.hi], axis=1).reshape(-1),
+    )
+    total = 2 * n
+    full, rem = divmod(total, SPONGE_RATE)
+    st = ts.state
+    if full == 1:
+        chunk = flat[:SPONGE_RATE]
+        st = poseidon.permute(
+            Gl(
+                jnp.concatenate([chunk.lo, st.lo[SPONGE_RATE:]]),
+                jnp.concatenate([chunk.hi, st.hi[SPONGE_RATE:]]),
+            )
         )
-        return poseidon._permute_impl(st), None
+    elif full > 1:
 
-    xs = (es.c0.lo, es.c0.hi, es.c1.lo, es.c1.hi)
-    state, _ = jax.lax.scan(body, ts.state, xs)
-    return TranscriptState(state)
+        def body(state: Gl, chunk):
+            clo, chi = chunk
+            s2 = Gl(
+                jnp.concatenate([clo, state.lo[SPONGE_RATE:]]),
+                jnp.concatenate([chi, state.hi[SPONGE_RATE:]]),
+            )
+            return poseidon._permute_impl(s2), None
+
+        xs = (
+            flat.lo[: full * SPONGE_RATE].reshape(full, SPONGE_RATE),
+            flat.hi[: full * SPONGE_RATE].reshape(full, SPONGE_RATE),
+        )
+        st, _ = jax.lax.scan(body, st, xs)
+    if rem:
+        tail = flat[full * SPONGE_RATE :]
+        st = poseidon.permute(
+            Gl(
+                jnp.concatenate([tail.lo, st.lo[rem:]]),
+                jnp.concatenate([tail.hi, st.hi[rem:]]),
+            )
+        )
+    return TranscriptState(st)
 
 
 def absorb_message(ts: TranscriptState, msg: bytes) -> TranscriptState:
@@ -145,9 +182,10 @@ class Transcript:
         self.ts = absorb_ext(self.ts, e)
 
     def append_field_element_exts(self, es: Gl2):
+        """Rate-chunked vector absorb (see absorb_exts / PROTOCOL.md #13)."""
         n = es.c0.lo.shape[0]
-        for i in range(n):
-            self.append_field_element_ext(es[i])
+        self.field_appended_num += 2 * n
+        self.ts = absorb_exts(self.ts, es)
 
     def append_message(self, msg: bytes):
         elems = bytes_to_field_elements(msg)

@@ -3,10 +3,24 @@ sumcheck must produce byte-identical proofs to the single-chip run with the
 same protocol shard count (the reference's multi-thread oracle,
 SURVEY.md section 2.9)."""
 
+import os
+
 import numpy as np
 import jax
+import pytest
 
 import conftest
+
+# The virtual-device mesh programs are compiled by XLA:CPU and executed as
+# 4 cooperating device threads; on a 1-core host both are pathological
+# (multi-hour SPMD compiles, collective rendezvous spin).  The driver's
+# multichip dryrun (__graft_entry__.dryrun_multichip) covers the same path
+# on a multicore box every round.
+_mesh_host_ok = pytest.mark.skipif(
+    (os.cpu_count() or 1) < 4,
+    reason="virtual-device mesh needs a multicore host (1-core XLA:CPU "
+    "SPMD compile/execution is pathological; driver dryrun covers this)",
+)
 from ceno_tpu.field import fops, gl
 from ceno_tpu.parallel import make_mesh, prove_sharded
 from ceno_tpu.sumcheck import VirtualPoly, check, prove, verify
@@ -24,6 +38,7 @@ def _make_poly(seed, num_vars, degree):
     return vp
 
 
+@_mesh_host_ok
 def test_mesh_prove_matches_single_chip():
     devices = conftest.cpu_mesh_devices(4)
     mesh = make_mesh(devices=devices)
@@ -46,6 +61,7 @@ def test_mesh_prove_matches_single_chip():
         check(subclaim)
 
 
+@_mesh_host_ok
 def test_mesh_full_opcode_proof_matches_single_device():
     """Full opcode proof (records -> tower -> main-sel -> Basefold open)
     with witness columns sharded over a 4-device mesh: canonical proof bytes

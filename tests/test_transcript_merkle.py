@@ -183,3 +183,29 @@ def test_transcript_kat():
     assert tr.bytes_to_field_elements(b"").tolist() == [0]
     assert tr.bytes_to_field_elements(bytes(range(17))).tolist() == [
         506097522914230528, 1084818905618843912, 16]
+
+
+def test_absorb_exts_rate_chunked():
+    """PROTOCOL.md deviation #13: a vector of k ext elements absorbs as its
+    2k interleaved base coefficients in rate-8 chunks (one permute each) —
+    pinned against the absorb_base primitive, which is KAT-frozen."""
+    import numpy as np
+    from ceno_tpu.field import gl, gl2
+
+    rng = np.random.default_rng(99)
+    vals = rng.integers(0, gl.P, size=(5, 2), dtype=np.uint64)
+    es = gl2.stack([gl2.const(int(a), int(b)) for a, b in vals])
+
+    ts = transcript.new(b"chunk")
+    got = transcript.absorb_exts(ts, es)
+
+    # oracle: interleave [c0_0, c1_0, c0_1, ...] then absorb_base rate-8
+    flat = vals.reshape(-1)  # (10,)
+    want = transcript.absorb_base(ts, gl.from_u64(flat[:8]))
+    want = transcript.absorb_base(want, gl.from_u64(flat[8:]))
+    assert np.array_equal(gl.to_u64(got.state), gl.to_u64(want.state))
+
+    # degree-3 round shape: 4 evals = exactly one rate block
+    got4 = transcript.absorb_exts(ts, es[:4])
+    want4 = transcript.absorb_base(ts, gl.from_u64(flat[:8]))
+    assert np.array_equal(gl.to_u64(got4.state), gl.to_u64(want4.state))
