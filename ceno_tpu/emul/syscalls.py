@@ -91,10 +91,14 @@ class SyscallEffects:
         return SyscallWitness(mem_ops, reg_ops)
 
 
+class UnknownSyscallError(RuntimeError):
+    pass
+
+
 def handle_syscall(vm, function: int) -> SyscallEffects:
     if function == KECCAK_PERMUTE:
         return keccak_permute(vm)
-    raise RuntimeError(f"unknown syscall {function:#x}")
+    raise UnknownSyscallError(f"unknown syscall {function:#x}")
 
 
 def keccak_permute(vm) -> SyscallEffects:

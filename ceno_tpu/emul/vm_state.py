@@ -262,9 +262,17 @@ class VMState:
             self.pc = 0
             self.halted = True
             return True
-        from .syscalls import handle_syscall
+        from .syscalls import UnknownSyscallError, handle_syscall
 
-        effects = handle_syscall(self, function)
+        try:
+            effects = handle_syscall(self, function)
+        except UnknownSyscallError:
+            if self.platform.unsafe_ecall_nop:
+                # SP1 compat (platform.rs unsafe_ecall_nop): treat the
+                # unknown ecall as a nop; the step proves via ECALL_DUMMY
+                self.pc = (self.pc + PC_STEP_SIZE) & M32
+                return True
+            raise
         for waddr, value in effects.mem_values:
             self.memory[waddr] = value
         for idx, value in effects.reg_values:

@@ -15,6 +15,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from ...emul.insn import InsnKind
+from ...emul.platform import Platform
 from ...field.gl import Gl
 from ..circuit_builder import ROMType
 from ..structs import ZKVMConstraintSystem
@@ -47,6 +48,13 @@ from .insns2 import (
     construct_mul,
     construct_shift,
     construct_slt,
+)
+from .dummy import (
+    ECALL_DUMMY_PSEUDO_KIND,
+    assign_dummy,
+    assign_ecall_dummy,
+    construct_dummy,
+    construct_ecall_dummy,
 )
 from .syscall_circuits import (
     KECCAK_PSEUDO_KIND,
@@ -112,6 +120,7 @@ _BUILDERS = {
     K.REM: (lambda: construct_div_rem(K.REM), assign_div_rem),
     K.ECALL: (construct_halt, assign_halt),
     KECCAK_PSEUDO_KIND: (construct_keccak_dummy, assign_keccak_dummy),
+    ECALL_DUMMY_PSEUDO_KIND: (construct_ecall_dummy, assign_ecall_dummy),
     K.LW: (lambda: construct_load(K.LW), assign_load),
     K.LH: (lambda: construct_load(K.LH), assign_load),
     K.LHU: (lambda: construct_load(K.LHU), assign_load),
@@ -223,6 +232,7 @@ class Rv32imConfig:
     mem_layout: Optional[MemLayout] = None
     extra_ranges: List[RangeTable] = field(default_factory=list)
     pub_io_table: Optional[PubIOTable] = None
+    assigners: Dict[int, object] = field(default_factory=dict)
 
     @staticmethod
     def construct(
@@ -230,18 +240,35 @@ class Rv32imConfig:
         kinds: Sequence[int] = DEFAULT_KINDS,
         mem_layout: Optional[MemLayout] = None,
         full_tables: bool = False,
+        dummy_kinds: Sequence[int] = (),
     ) -> "Rv32imConfig":
         """full_tables=True registers every ROM table the reference does
         (U5/U8/U14/U16 + And/Or/Xor/Ltu/Pow, rv32im.rs) even when unused by
         the selected circuits; the default registers only the tables the
-        selected circuits look up (smaller proofs for subsets/tests)."""
+        selected circuits look up (smaller proofs for subsets/tests).
+
+        dummy_kinds routes those InsnKinds through the generic
+        DummyInstruction circuit (reads/writes only, no op semantics —
+        dummy_circuit.rs:24) instead of their dedicated circuits."""
         zkvm_cs = ZKVMConstraintSystem()
         opcode_cfgs = {}
+        assigners = {}
         for kind in kinds:
-            builder, _ = _BUILDERS[kind]
-            cfg = builder()
+            if kind in dummy_kinds:
+                cfg = construct_dummy(kind)
+                assigners[kind] = assign_dummy
+            else:
+                builder, assigner = _BUILDERS[kind]
+                cfg = builder()
+                assigners[kind] = assigner
             opcode_cfgs[kind] = cfg
             zkvm_cs.register(cfg.cs)
+        for kind in dummy_kinds:
+            if kind not in opcode_cfgs:
+                cfg = construct_dummy(kind)
+                assigners[kind] = assign_dummy
+                opcode_cfgs[kind] = cfg
+                zkvm_cs.register(cfg.cs)
 
         u16 = RangeTable.construct(ROMType.U16, 16)
         zkvm_cs.register(u16.cs)
@@ -295,7 +322,7 @@ class Rv32imConfig:
         zkvm_cs.finalize_global_state_expr = fin_gs
         return Rv32imConfig(zkvm_cs, opcode_cfgs, u16, ops_tables, prog, reg,
                             u8, static_mem, dyn_mems, mem_layout, extra_ranges,
-                            pub_io_table)
+                            pub_io_table, assigners)
 
     def generate_fixed_traces(self, program, reg_init: np.ndarray) -> Dict[str, List[Gl]]:
         from ...field import gl
@@ -332,17 +359,25 @@ class Rv32imConfig:
         buckets: Dict[int, list] = {}
         for s in steps:
             kind = s.insn.kind
-            if kind == K.ECALL and s.syscall is not None:
-                kind = KECCAK_PSEUDO_KIND
+            if kind == K.ECALL:
+                if s.syscall is not None:
+                    kind = KECCAK_PSEUDO_KIND
+                elif s.rs1 is not None and s.rs1.value != Platform.ECALL_HALT:
+                    # non-HALT, nop'd unknown syscall -> ECALL_DUMMY bucket
+                    # (rv32im.rs:315 leftover-records semantics)
+                    kind = ECALL_DUMMY_PSEUDO_KIND
             buckets.setdefault(kind, []).append(s)
         unknown = set(buckets) - set(self.opcode_cfgs)
-        assert not unknown, f"opcode circuits not yet implemented: {unknown}"
+        assert not unknown, (
+            f"no circuit for opcodes {sorted(unknown)}: add them to `kinds` "
+            f"or route via `dummy_kinds` (DummyInstruction catch-all)"
+        )
 
         witnesses: Dict[str, List[Gl]] = {}
         num_instances: Dict[str, int] = {}
 
         for kind, cfg in self.opcode_cfgs.items():
-            _, assigner = _BUILDERS[kind]
+            assigner = self.assigners.get(kind) or _BUILDERS[kind][1]
             group = buckets.get(kind, [])
             name = cfg.cs.name
             if group:
