@@ -56,6 +56,7 @@ from .insn_base import (
     value_limbs,
 )
 from .insns import LOGIC_FN, LOGIC_ROM, _u64, _u8_limbs
+from .uint import UInt
 
 P = 0xFFFFFFFF00000001
 M32 = 0xFFFFFFFF
@@ -80,22 +81,6 @@ def _rd_assign(cfg_rd: WriteRD, wm, lkm, steps, cycles) -> None:
     cfg_rd.assign(wm, lkm, _u64([(s.rd.addr << 2) >> 8 for s in steps]),
                   _u64([s.rd.previous_cycle for s in steps]), cycles,
                   _u64([s.rd.value.before for s in steps]))
-
-
-def _set_limbs(wm, wits: List[WitIn], values: np.ndarray) -> None:
-    l = value_limbs(values)
-    for i, w in enumerate(wits):
-        wm.set(w, l[i])
-
-
-def _u16_witins(cs, name: str, n: int = UINT_LIMBS) -> List[WitIn]:
-    """n witnesses, each U16 range-looked-up."""
-    out = []
-    for i in range(n):
-        w = cs.create_witin(f"{name}_{i}")
-        cs.lk_record(ROMType.U16, [w])
-        out.append(w)
-    return out
 
 
 def _signed32(v: np.ndarray) -> np.ndarray:
@@ -179,8 +164,8 @@ class SltConfig:
     rs1: ReadReg
     rs2: Optional[ReadReg]
     rd: WriteRD
-    rs1_limbs: List[WitIn]
-    rhs_limbs: List[WitIn]  # rs2 limbs (SLT) or imm limbs (SLTI/SLTIU)
+    rs1_u: UInt
+    rhs_u: UInt  # rs2 (SLT) or imm (SLTI/SLTIU)
     msb1: Optional[MsbConfig]
     msb2: Optional[MsbConfig]
     lt: LtConfig
@@ -192,25 +177,24 @@ def construct_slt(kind: int) -> SltConfig:
     is_imm = kind in (K.SLTI, K.SLTIU)
     cs = ConstraintSystem(InsnKind.NAMES[kind])
     state = StateInOut.construct(cs)
-    rs1_limbs = [cs.create_witin(f"rs1_l{i}") for i in range(UINT_LIMBS)]
-    if is_imm:
-        rhs_limbs = _u16_witins(cs, "imm_l")
-    else:
-        rhs_limbs = [cs.create_witin(f"rs2_l{i}") for i in range(UINT_LIMBS)]
-    lhs, rhs = _val(rs1_limbs), _val(rhs_limbs)
+    # register reads are multiset-bound -> unchecked limbs (uint.rs
+    # new_unchecked); the immediate needs its own U16 range checks
+    rs1_u = UInt.new_unchecked(cs, "rs1")
+    rhs_u = UInt.new(cs, "imm") if is_imm else UInt.new_unchecked(cs, "rs2")
+    lhs, rhs = rs1_u.value(), rhs_u.value()
     msb1 = msb2 = None
     if signed:
-        msb1 = MsbConfig.construct(cs, rs1_limbs[1], "msb1")
-        msb2 = MsbConfig.construct(cs, rhs_limbs[1], "msb2")
+        msb1 = MsbConfig.construct(cs, rs1_u.limbs[1], "msb1")
+        msb2 = MsbConfig.construct(cs, rhs_u.limbs[1], "msb2")
         lt = LtConfig.construct(
             cs, lhs - msb1.msb * Constant(1 << 32), rhs - msb2.msb * Constant(1 << 32)
         )
     else:
         lt = LtConfig.construct(cs, lhs, rhs)
-    rs1 = ReadReg.construct(cs, list(rs1_limbs), state.ts, SUBCYCLE_RS1)
+    rs1 = ReadReg.construct(cs, rs1_u.expr(), state.ts, SUBCYCLE_RS1)
     rs2 = None
     if not is_imm:
-        rs2 = ReadReg.construct(cs, list(rhs_limbs), state.ts, SUBCYCLE_RS2)
+        rs2 = ReadReg.construct(cs, rhs_u.expr(), state.ts, SUBCYCLE_RS2)
     rd = WriteRD.construct(cs, [lt.is_lt + Constant(0), Constant(0)], state.ts)
     if kind == K.SLT:
         lk_fetch(cs, state.pc, kind, rd.id, rs1.id, rs2.id, Constant(0))
@@ -219,7 +203,7 @@ def construct_slt(kind: int) -> SltConfig:
     else:  # SLTI: fetch stores the signed field view (imm_internal)
         imm_field = rhs + msb2.msb * Constant(P - (1 << 32))
         lk_fetch(cs, state.pc, kind, rd.id, rs1.id, Constant(0), imm_field)
-    return SltConfig(cs, kind, state, rs1, rs2, rd, rs1_limbs, rhs_limbs, msb1, msb2, lt)
+    return SltConfig(cs, kind, state, rs1, rs2, rd, rs1_u, rhs_u, msb1, msb2, lt)
 
 
 def assign_slt(config: SltConfig, steps, lkm: LkMultiplicity) -> WitnessMatrix:
@@ -233,11 +217,8 @@ def assign_slt(config: SltConfig, steps, lkm: LkMultiplicity) -> WitnessMatrix:
     else:
         rhs_v = _u64([s.insn.imm & M32 for s in steps])
     config.state.assign(wm, pcs, cycles)
-    _set_limbs(wm, config.rs1_limbs, rs1_v)
-    _set_limbs(wm, config.rhs_limbs, rhs_v)
-    if config.rs2 is None:
-        for l in value_limbs(rhs_v):
-            lkm.assert_ux(16, l)
+    config.rs1_u.assign(wm, lkm, rs1_v)
+    config.rhs_u.assign(wm, lkm, rhs_v)
     if config.msb1 is not None:
         config.msb1.assign(wm, lkm, value_limbs(rs1_v)[1])
         config.msb2.assign(wm, lkm, value_limbs(rhs_v)[1])
@@ -265,13 +246,13 @@ class ShiftConfig:
     rs1: ReadReg
     rs2: Optional[ReadReg]  # register shifts only
     rd: WriteRD
-    rs1_limbs: List[WitIn]
-    rs2_limbs: Optional[List[WitIn]]
+    rs1_u: UInt
+    rs2_u: Optional[UInt]
     pow: WitIn
     shamt: Optional[WitIn]  # register shifts: rs2 & 31
     rest: Optional[WitIn]  # rs2_l0 >> 5
-    rd_limbs: List[WitIn]
-    aux_limbs: List[WitIn]  # SLLI outflow / SRLI-SRAI remainder
+    rd_u: UInt
+    aux_u: UInt  # SLLI outflow / SRLI-SRAI remainder
     aux_lt: AssertLtConfig
     msb: Optional[MsbConfig]  # SRA/SRAI
 
@@ -283,25 +264,25 @@ def construct_shift(kind: int) -> ShiftConfig:
     arith = kind in (K.SRAI, K.SRA)
     cs = ConstraintSystem(InsnKind.NAMES[kind])
     state = StateInOut.construct(cs)
-    rs1_limbs = [cs.create_witin(f"rs1_l{i}") for i in range(UINT_LIMBS)]
-    rs1_val = _val(rs1_limbs)
+    rs1_u = UInt.new_unchecked(cs, "rs1")
+    rs1_val = rs1_u.value()
     pow_w = cs.create_witin("pow")
     shamt = rest = None
-    rs2_limbs = None
+    rs2_u = None
     rs2 = None
     if not is_imm:
-        rs2_limbs = [cs.create_witin(f"rs2_l{i}") for i in range(UINT_LIMBS)]
+        rs2_u = UInt.new_unchecked(cs, "rs2")
         shamt = cs.create_witin("shamt")
         rest = cs.create_witin("rest")
         # rs2_l0 = shamt + 32*rest, rest < 2^11 via U16(32*rest); shamt < 32
         # enforced by the Pow table domain
-        cs.require_zero(rs2_limbs[0] - shamt - rest * Constant(32), "shamt_decomp")
+        cs.require_zero(rs2_u.limbs[0] - shamt - rest * Constant(32), "shamt_decomp")
         cs.lk_record(ROMType.U16, [rest * Constant(32)])
         cs.lk_record(ROMType.Pow, [Constant(2), shamt, pow_w])
 
-    rd_limbs = _u16_witins(cs, "rd_l")
-    aux_limbs = _u16_witins(cs, "aux_l")
-    rd_val, aux_val = _val(rd_limbs), _val(aux_limbs)
+    rd_u = UInt.new(cs, "rd_l")
+    aux_u = UInt.new(cs, "aux_l")
+    rd_val, aux_val = rd_u.value(), aux_u.value()
     # outflow < pow (SLL) / remainder < pow (SRL, SRA)
     aux_lt = AssertLtConfig.construct(cs, aux_val, pow_w)
     msb = None
@@ -315,24 +296,23 @@ def construct_shift(kind: int) -> ShiftConfig:
         cs.require_zero(rs1_val - rd_val * pow_w - aux_val, "shift_right")
     else:
         # signed: rs1_s = rd_s * pow + rem with s-values offset by msb*2^32
-        msb = MsbConfig.construct(cs, rs1_limbs[1], "msb")
+        msb = MsbConfig.construct(cs, rs1_u.limbs[1], "msb")
         off = msb.msb * Constant(1 << 32)
         cs.require_zero(
             (rs1_val - off) - (rd_val - off) * pow_w - aux_val, "shift_arith"
         )
 
-    rs1 = ReadReg.construct(cs, list(rs1_limbs), state.ts, SUBCYCLE_RS1)
+    rs1 = ReadReg.construct(cs, rs1_u.expr(), state.ts, SUBCYCLE_RS1)
     if not is_imm:
-        rs2 = ReadReg.construct(cs, list(rs2_limbs), state.ts, SUBCYCLE_RS2)
-    rd = WriteRD.construct(cs, [rd_limbs[0] + Constant(0), rd_limbs[1] + Constant(0)],
-                           state.ts)
+        rs2 = ReadReg.construct(cs, rs2_u.expr(), state.ts, SUBCYCLE_RS2)
+    rd = WriteRD.construct(cs, rd_u.expr(), state.ts)
     if is_imm:
         # program table stores 2^shamt as the immediate (program.rs:56-76)
         lk_fetch(cs, state.pc, kind, rd.id, rs1.id, Constant(0), pow_w)
     else:
         lk_fetch(cs, state.pc, kind, rd.id, rs1.id, rs2.id, Constant(0))
-    return ShiftConfig(cs, kind, state, rs1, rs2, rd, rs1_limbs, rs2_limbs, pow_w,
-                       shamt, rest, rd_limbs, aux_limbs, aux_lt, msb)
+    return ShiftConfig(cs, kind, state, rs1, rs2, rd, rs1_u, rs2_u, pow_w,
+                       shamt, rest, rd_u, aux_u, aux_lt, msb)
 
 
 def assign_shift(config: ShiftConfig, steps, lkm: LkMultiplicity) -> WitnessMatrix:
@@ -342,11 +322,11 @@ def assign_shift(config: ShiftConfig, steps, lkm: LkMultiplicity) -> WitnessMatr
     cycles = _u64([s.cycle for s in steps])
     rs1_v = _u64([s.rs1.value for s in steps])
     config.state.assign(wm, pcs, cycles)
-    _set_limbs(wm, config.rs1_limbs, rs1_v)
+    config.rs1_u.assign(wm, lkm, rs1_v)
 
     if config.rs2 is not None:
         rs2_v = _u64([s.rs2.value for s in steps])
-        _set_limbs(wm, config.rs2_limbs, rs2_v)
+        config.rs2_u.assign(wm, lkm, rs2_v)
         shamt = rs2_v & np.uint64(31)
         rest = (rs2_v & np.uint64(0xFFFF)) >> np.uint64(5)
         wm.set(config.shamt, shamt)
@@ -373,11 +353,8 @@ def assign_shift(config: ShiftConfig, steps, lkm: LkMultiplicity) -> WitnessMatr
         aux_v = (s_v - (rd_s << shamt.astype(np.int64))).astype(np.uint64)
         rd_v = (rd_s & np.int64(M32)).astype(np.uint64)
         config.msb.assign(wm, lkm, value_limbs(rs1_v)[1])
-    for wits, vals in ((config.rd_limbs, rd_v), (config.aux_limbs, aux_v)):
-        l = value_limbs(vals)
-        for i, w in enumerate(wits):
-            wm.set(w, l[i])
-            lkm.assert_ux(16, l[i])
+    config.rd_u.assign(wm, lkm, rd_v)
+    config.aux_u.assign(wm, lkm, aux_v)
     config.aux_lt.assign(wm, lkm, aux_v, pow_v)
 
     _rs1_assign(config.rs1, wm, lkm, steps, cycles)
@@ -399,9 +376,9 @@ class JalrConfig:
     state: StateInOut
     rs1: ReadReg
     rd: WriteRD
-    rs1_limbs: List[WitIn]
+    rs1_u: UInt
     imm: WitIn
-    rd_limbs: List[WitIn]
+    rd_u: UInt
     npc_half: WitIn
     npc_hi: WitIn
     lsb: WitIn
@@ -412,10 +389,10 @@ class JalrConfig:
 def construct_jalr() -> JalrConfig:
     cs = ConstraintSystem("JALR")
     state = StateInOut.construct(cs, branching=True)
-    rs1_limbs = [cs.create_witin(f"rs1_l{i}") for i in range(UINT_LIMBS)]
+    rs1_u = UInt.new_unchecked(cs, "rs1")
     imm = cs.create_witin("imm")
-    rd_limbs = _u16_witins(cs, "rd_l")
-    cs.require_zero(_val(rd_limbs) - (state.pc + PC_STEP_SIZE), "jalr_rd")
+    rd_u = UInt.new(cs, "rd_l")
+    cs.require_zero(rd_u.value() - (state.pc + PC_STEP_SIZE), "jalr_rd")
     # next_pc = 2*half + hi*2^16 (even, u32): half 15-bit via U16(2*half)
     half = cs.create_witin("npc_half")
     hi = cs.create_witin("npc_hi")
@@ -433,14 +410,13 @@ def construct_jalr() -> JalrConfig:
     # rs1 + imm = next_pc + lsb + (kp - kn)*2^32  (imm is the signed field
     # view pinned by the fetch record)
     cs.require_zero(
-        _val(rs1_limbs) + imm - npc_val - lsb - (kp - kn) * Constant(1 << 32),
+        rs1_u.value() + imm - npc_val - lsb - (kp - kn) * Constant(1 << 32),
         "jalr_target",
     )
-    rs1 = ReadReg.construct(cs, list(rs1_limbs), state.ts, SUBCYCLE_RS1)
-    rd = WriteRD.construct(cs, [rd_limbs[0] + Constant(0), rd_limbs[1] + Constant(0)],
-                           state.ts)
+    rs1 = ReadReg.construct(cs, rs1_u.expr(), state.ts, SUBCYCLE_RS1)
+    rd = WriteRD.construct(cs, rd_u.expr(), state.ts)
     lk_fetch(cs, state.pc, K.JALR, rd.id, rs1.id, Constant(0), imm)
-    return JalrConfig(cs, state, rs1, rd, rs1_limbs, imm, rd_limbs, half, hi, lsb, kp, kn)
+    return JalrConfig(cs, state, rs1, rd, rs1_u, imm, rd_u, half, hi, lsb, kp, kn)
 
 
 def assign_jalr(config: JalrConfig, steps, lkm: LkMultiplicity) -> WitnessMatrix:
@@ -452,12 +428,9 @@ def assign_jalr(config: JalrConfig, steps, lkm: LkMultiplicity) -> WitnessMatrix
     rs1_v = _u64([s.rs1.value for s in steps])
     simm = np.asarray([s.insn.imm for s in steps], dtype=np.int64)
     config.state.assign(wm, pcs, cycles, next_pcs)
-    _set_limbs(wm, config.rs1_limbs, rs1_v)
+    config.rs1_u.assign(wm, lkm, rs1_v)
     wm.set(config.imm, signed_to_field([s.insn.imm for s in steps]))
-    rdl = value_limbs((pcs + 4) & np.uint64(M32))
-    for i in range(UINT_LIMBS):
-        wm.set(config.rd_limbs[i], rdl[i])
-        lkm.assert_ux(16, rdl[i])
+    config.rd_u.assign(wm, lkm, (pcs + 4) & np.uint64(M32))
     target_full = rs1_v.astype(np.int64) + simm
     target = (target_full & np.int64(M32)).astype(np.uint64)
     lsb = target & np.uint64(1)
@@ -492,12 +465,12 @@ class MulConfig:
     rs1: ReadReg
     rs2: ReadReg
     rd: WriteRD
-    rs1_limbs: List[WitIn]
-    rs2_limbs: List[WitIn]
+    rs1_u: UInt
+    rs2_u: UInt
     mul: MulLimbConfig
     msb1: Optional[MsbConfig]
     msb2: Optional[MsbConfig]
-    rd_limbs: Optional[List[WitIn]]  # MULH/MULHSU corrected high word
+    rd_u: Optional[UInt]  # MULH/MULHSU corrected high word
     borrow: List[WitIn]
 
 
@@ -505,41 +478,41 @@ def construct_mul(kind: int) -> MulConfig:
     assert kind in (K.MUL, K.MULH, K.MULHU, K.MULHSU)
     cs = ConstraintSystem(InsnKind.NAMES[kind])
     state = StateInOut.construct(cs)
-    rs1_limbs = [cs.create_witin(f"rs1_l{i}") for i in range(UINT_LIMBS)]
-    rs2_limbs = [cs.create_witin(f"rs2_l{i}") for i in range(UINT_LIMBS)]
-    mul = MulLimbConfig.construct(cs, list(rs1_limbs), list(rs2_limbs))
+    rs1_u = UInt.new_unchecked(cs, "rs1")
+    rs2_u = UInt.new_unchecked(cs, "rs2")
+    mul = MulLimbConfig.construct(cs, rs1_u.expr(), rs2_u.expr())
     hi_val = _val(mul.hi)
     msb1 = msb2 = None
-    rd_limbs = None
+    rd_u = None
     borrow: List[WitIn] = []
     if kind == K.MUL:
         rd_exprs = [mul.lo[0] + Constant(0), mul.lo[1] + Constant(0)]
     elif kind == K.MULHU:
         rd_exprs = [mul.hi[0] + Constant(0), mul.hi[1] + Constant(0)]
     else:
-        msb1 = MsbConfig.construct(cs, rs1_limbs[1], "msb1")
-        rd_limbs = _u16_witins(cs, "rdh_l")
-        rd_val = _val(rd_limbs)
+        msb1 = MsbConfig.construct(cs, rs1_u.limbs[1], "msb1")
+        rd_u = UInt.new(cs, "rdh_l")
+        rd_val = rd_u.value()
         n_borrow = 2 if kind == K.MULH else 1
         borrow = [cs.create_witin(f"borrow_{i}") for i in range(n_borrow)]
         for b in borrow:
             cs.require_zero(b * b - b, "borrow_bit")
         borrow_expr = borrow[0] if n_borrow == 1 else borrow[0] + borrow[1]
         # mulh = (hi - msb_a*b - msb_b*a) mod 2^32 ; mulhsu drops the b term
-        corr = msb1.msb * _val(rs2_limbs)
+        corr = msb1.msb * rs2_u.value()
         if kind == K.MULH:
-            msb2 = MsbConfig.construct(cs, rs2_limbs[1], "msb2")
-            corr = corr + msb2.msb * _val(rs1_limbs)
+            msb2 = MsbConfig.construct(cs, rs2_u.limbs[1], "msb2")
+            corr = corr + msb2.msb * rs1_u.value()
         cs.require_zero(
             hi_val - corr - rd_val + borrow_expr * Constant(1 << 32), "mulh"
         )
-        rd_exprs = [rd_limbs[0] + Constant(0), rd_limbs[1] + Constant(0)]
-    rs1 = ReadReg.construct(cs, list(rs1_limbs), state.ts, SUBCYCLE_RS1)
-    rs2 = ReadReg.construct(cs, list(rs2_limbs), state.ts, SUBCYCLE_RS2)
+        rd_exprs = rd_u.expr()
+    rs1 = ReadReg.construct(cs, rs1_u.expr(), state.ts, SUBCYCLE_RS1)
+    rs2 = ReadReg.construct(cs, rs2_u.expr(), state.ts, SUBCYCLE_RS2)
     rd = WriteRD.construct(cs, rd_exprs, state.ts)
     lk_fetch(cs, state.pc, kind, rd.id, rs1.id, rs2.id, Constant(0))
-    return MulConfig(cs, kind, state, rs1, rs2, rd, rs1_limbs, rs2_limbs, mul,
-                     msb1, msb2, rd_limbs, borrow)
+    return MulConfig(cs, kind, state, rs1, rs2, rd, rs1_u, rs2_u, mul,
+                     msb1, msb2, rd_u, borrow)
 
 
 def assign_mul(config: MulConfig, steps, lkm: LkMultiplicity) -> WitnessMatrix:
@@ -550,8 +523,8 @@ def assign_mul(config: MulConfig, steps, lkm: LkMultiplicity) -> WitnessMatrix:
     a = _u64([s.rs1.value for s in steps])
     b = _u64([s.rs2.value for s in steps])
     config.state.assign(wm, pcs, cycles)
-    _set_limbs(wm, config.rs1_limbs, a)
-    _set_limbs(wm, config.rs2_limbs, b)
+    config.rs1_u.assign(wm, lkm, a)
+    config.rs2_u.assign(wm, lkm, b)
     config.mul.assign(wm, lkm, a, b)
     if config.msb1 is not None:
         msb_a = a >> np.uint64(31)
@@ -565,9 +538,7 @@ def assign_mul(config: MulConfig, steps, lkm: LkMultiplicity) -> WitnessMatrix:
         val = hi.astype(np.int64) - corr.astype(np.int64)
         rd_v = (val & np.int64(M32)).astype(np.uint64)
         borrow = ((rd_v.astype(np.int64) - val) >> np.int64(32)).astype(np.uint64)
-        for i, l in enumerate(value_limbs(rd_v)):
-            wm.set(config.rd_limbs[i], l)
-            lkm.assert_ux(16, l)
+        config.rd_u.assign(wm, lkm, rd_v)
         wm.set(config.borrow[0], np.minimum(borrow, 1))
         if len(config.borrow) > 1:
             wm.set(config.borrow[1], borrow - np.minimum(borrow, 1))
@@ -591,20 +562,20 @@ class DivRemConfig:
     rs1: ReadReg
     rs2: ReadReg
     rd: WriteRD
-    rs1_limbs: List[WitIn]
-    rs2_limbs: List[WitIn]
-    q_limbs: List[WitIn]
-    r_limbs: List[WitIn]
+    rs1_u: UInt
+    rs2_u: UInt
+    q_u: UInt
+    r_u: UInt
     mul: MulLimbConfig
     div_zero: IsZeroConfig
     r_lt: LtConfig
     # signed-only pieces
     msb1: Optional[MsbConfig] = None
     msb2: Optional[MsbConfig] = None
-    a_abs: Optional[List[WitIn]] = None
-    d_abs: Optional[List[WitIn]] = None
-    q_abs: Optional[List[WitIn]] = None
-    r_abs: Optional[List[WitIn]] = None
+    a_abs: Optional[UInt] = None
+    d_abs: Optional[UInt] = None
+    q_out: Optional[UInt] = None
+    r_out: Optional[UInt] = None
     s_q: Optional[WitIn] = None
     nz_q: Optional[WitIn] = None
     nz_r: Optional[WitIn] = None
@@ -615,39 +586,39 @@ def construct_div_rem(kind: int) -> DivRemConfig:
     signed = kind in (K.DIV, K.REM)
     cs = ConstraintSystem(InsnKind.NAMES[kind])
     state = StateInOut.construct(cs)
-    rs1_limbs = [cs.create_witin(f"rs1_l{i}") for i in range(UINT_LIMBS)]
-    rs2_limbs = [cs.create_witin(f"rs2_l{i}") for i in range(UINT_LIMBS)]
-    a_val, d_val = _val(rs1_limbs), _val(rs2_limbs)
+    rs1_u = UInt.new_unchecked(cs, "rs1")
+    rs2_u = UInt.new_unchecked(cs, "rs2")
+    a_val, d_val = rs1_u.value(), rs2_u.value()
 
     msb1 = msb2 = s_q = nz_q = nz_r = None
     a_abs = d_abs = None
     if signed:
         # |x| = (x - msb*2^32) * (1 - 2*msb), bound to u16-checked limbs
-        msb1 = MsbConfig.construct(cs, rs1_limbs[1], "msb1")
-        msb2 = MsbConfig.construct(cs, rs2_limbs[1], "msb2")
-        a_abs = _u16_witins(cs, "a_abs")
-        d_abs = _u16_witins(cs, "d_abs")
+        msb1 = MsbConfig.construct(cs, rs1_u.limbs[1], "msb1")
+        msb2 = MsbConfig.construct(cs, rs2_u.limbs[1], "msb2")
+        a_abs = UInt.new(cs, "a_abs")
+        d_abs = UInt.new(cs, "d_abs")
         cs.require_zero(
-            _val(a_abs)
+            a_abs.value()
             - (a_val - msb1.msb * Constant(1 << 32)) * (Constant(1) - msb1.msb * Constant(2)),
             "a_abs",
         )
         cs.require_zero(
-            _val(d_abs)
+            d_abs.value()
             - (d_val - msb2.msb * Constant(1 << 32)) * (Constant(1) - msb2.msb * Constant(2)),
             "d_abs",
         )
-        num, den = _val(a_abs), _val(d_abs)
-        num_limbs, den_limbs = a_abs, d_abs
+        num, den = a_abs.value(), d_abs.value()
+        den_u = d_abs
     else:
         num, den = a_val, d_val
-        num_limbs, den_limbs = rs1_limbs, rs2_limbs
+        den_u = rs2_u
 
-    q_limbs = _u16_witins(cs, "q_l")
-    r_limbs = _u16_witins(cs, "r_l")
-    q_val, r_val = _val(q_limbs), _val(r_limbs)
+    q_u = UInt.new(cs, "q_l")
+    r_u = UInt.new(cs, "r_l")
+    q_val, r_val = q_u.value(), r_u.value()
     # q*den + r = num with q*den < 2^32 (with_hi=False forces the high word 0)
-    mul = MulLimbConfig.construct(cs, list(q_limbs), list(den_limbs), with_hi=False)
+    mul = MulLimbConfig.construct(cs, q_u.expr(), den_u.expr(), with_hi=False)
     cs.require_zero(_val(mul.lo) + r_val - num, "div_identity")
     div_zero = IsZeroConfig.construct(cs, den, "div0")
     r_lt = LtConfig.construct(cs, r_val, den, "rlt")
@@ -657,15 +628,12 @@ def construct_div_rem(kind: int) -> DivRemConfig:
     if not signed:
         cs.require_zero(z * (q_val - Constant(M32)), "div0_q")
         cs.require_zero(z * (r_val - a_val), "div0_r")
-        rd_src = q_limbs if kind == K.DIVU else r_limbs
-        rd_exprs = [rd_src[0] + Constant(0), rd_src[1] + Constant(0)]
-        q_abs = r_abs = None
+        rd_exprs = (q_u if kind == K.DIVU else r_u).expr()
         q_out = r_out = None
     else:
         # sign reconstruction: q = s_q ? -q_abs : q_abs ; r sign = sign(a)
-        q_abs, r_abs = q_limbs, r_limbs  # magnitudes from the division above
-        q_out = _u16_witins(cs, "q_out")
-        r_out = _u16_witins(cs, "r_out")
+        q_out = UInt.new(cs, "q_out")
+        r_out = UInt.new(cs, "r_out")
         s_q = cs.create_witin("s_q")
         cs.require_zero(
             s_q - (msb1.msb + msb2.msb - msb1.msb * msb2.msb * Constant(2)), "s_q_def"
@@ -674,7 +642,7 @@ def construct_div_rem(kind: int) -> DivRemConfig:
         nz_r = cs.create_witin("nz_r")
         cs.require_zero(nz_q * nz_q - nz_q, "nz_q_bit")
         cs.require_zero(nz_r * nz_r - nz_r, "nz_r_bit")
-        qo, ro = _val(q_out), _val(r_out)
+        qo, ro = q_out.value(), r_out.value()
         cs.require_zero(
             s_q * (qo + q_val - nz_q * Constant(1 << 32)) + (Constant(1) - s_q) * (qo - q_val),
             "q_sign",
@@ -686,19 +654,15 @@ def construct_div_rem(kind: int) -> DivRemConfig:
         )
         # divide-by-zero: q = -1 (r = a falls out of the sign reconstruction)
         cs.require_zero(z * (qo - Constant(M32)), "div0_q")
-        rd_src = q_out if kind == K.DIV else r_out
-        rd_exprs = [rd_src[0] + Constant(0), rd_src[1] + Constant(0)]
+        rd_exprs = (q_out if kind == K.DIV else r_out).expr()
 
-    rs1 = ReadReg.construct(cs, list(rs1_limbs), state.ts, SUBCYCLE_RS1)
-    rs2 = ReadReg.construct(cs, list(rs2_limbs), state.ts, SUBCYCLE_RS2)
+    rs1 = ReadReg.construct(cs, rs1_u.expr(), state.ts, SUBCYCLE_RS1)
+    rs2 = ReadReg.construct(cs, rs2_u.expr(), state.ts, SUBCYCLE_RS2)
     rd = WriteRD.construct(cs, rd_exprs, state.ts)
     lk_fetch(cs, state.pc, kind, rd.id, rs1.id, rs2.id, Constant(0))
-    cfg = DivRemConfig(cs, kind, state, rs1, rs2, rd, rs1_limbs, rs2_limbs,
-                       q_limbs, r_limbs, mul, div_zero, r_lt, msb1, msb2,
-                       a_abs, d_abs, None, None, s_q, nz_q, nz_r)
-    if signed:
-        cfg.q_abs, cfg.r_abs = q_out, r_out  # store the signed outputs
-    return cfg
+    return DivRemConfig(cs, kind, state, rs1, rs2, rd, rs1_u, rs2_u,
+                        q_u, r_u, mul, div_zero, r_lt, msb1, msb2,
+                        a_abs, d_abs, q_out, r_out, s_q, nz_q, nz_r)
 
 
 def assign_div_rem(config: DivRemConfig, steps, lkm: LkMultiplicity) -> WitnessMatrix:
@@ -709,8 +673,8 @@ def assign_div_rem(config: DivRemConfig, steps, lkm: LkMultiplicity) -> WitnessM
     a = _u64([s.rs1.value for s in steps])
     d = _u64([s.rs2.value for s in steps])
     config.state.assign(wm, pcs, cycles)
-    _set_limbs(wm, config.rs1_limbs, a)
-    _set_limbs(wm, config.rs2_limbs, d)
+    config.rs1_u.assign(wm, lkm, a)
+    config.rs2_u.assign(wm, lkm, d)
 
     signed = config.kind in (K.DIV, K.REM)
     if signed:
@@ -718,10 +682,8 @@ def assign_div_rem(config: DivRemConfig, steps, lkm: LkMultiplicity) -> WitnessM
         config.msb2.assign(wm, lkm, value_limbs(d)[1])
         num = np.abs(_signed32(a)).astype(np.uint64)
         den = np.abs(_signed32(d)).astype(np.uint64)
-        for wits, vals in ((config.a_abs, num), (config.d_abs, den)):
-            for i, l in enumerate(value_limbs(vals)):
-                wm.set(wits[i], l)
-                lkm.assert_ux(16, l)
+        config.a_abs.assign(wm, lkm, num)
+        config.d_abs.assign(wm, lkm, den)
     else:
         num, den = a, d
 
@@ -732,10 +694,8 @@ def assign_div_rem(config: DivRemConfig, steps, lkm: LkMultiplicity) -> WitnessM
         # that reconstructs to -1 under the sign rule (q*0 stays 0 either way)
         msb_a = (a >> np.uint64(31)).astype(bool)
         q = np.where(den == 0, np.where(msb_a, np.uint64(1), np.uint64(M32)), q)
-    for wits, vals in ((config.q_limbs, q), (config.r_limbs, r)):
-        for i, l in enumerate(value_limbs(vals)):
-            wm.set(wits[i], l)
-            lkm.assert_ux(16, l)
+    config.q_u.assign(wm, lkm, q)
+    config.r_u.assign(wm, lkm, r)
     config.mul.assign(wm, lkm, q, den)
     config.div_zero.assign(wm, den)
     config.r_lt.assign(wm, lkm, r.astype(np.int64), den.astype(np.int64))
@@ -750,10 +710,8 @@ def assign_div_rem(config: DivRemConfig, steps, lkm: LkMultiplicity) -> WitnessM
         r_out = np.where(msb_a, (-r.astype(np.int64)) & np.int64(M32), r.astype(np.int64)).astype(np.uint64)
         wm.set(config.nz_q, ((s_q) & (q != 0)).astype(np.uint64))
         wm.set(config.nz_r, ((msb_a) & (r != 0)).astype(np.uint64))
-        for wits, vals in ((config.q_abs, q_out), (config.r_abs, r_out)):
-            for i, l in enumerate(value_limbs(vals)):
-                wm.set(wits[i], l)
-                lkm.assert_ux(16, l)
+        config.q_out.assign(wm, lkm, q_out)
+        config.r_out.assign(wm, lkm, r_out)
 
     _rs1_assign(config.rs1, wm, lkm, steps, cycles)
     _rs2_assign(config.rs2, wm, lkm, steps, cycles)

@@ -15,9 +15,10 @@ UInt = 32/16) and uint/arithmetic.rs:18-264:
 * the witness-side `Value` mirror (uint/util.rs) computes limb
   decompositions and add/mul carries vectorized over the instance axis.
 
-Adopted by the arith circuits; other opcode circuits build on the same
-gadgets (MulLimbConfig/LtConfig) with ad-hoc glue where the reference also
-specializes.
+Adopted across the opcode circuits (arith, SLT/SLTI/SLTIU, shifts, JALR,
+MUL and DIV families — mirroring the reference where every circuit sits on
+UIntLimbs, uint.rs:81); byte-granular circuits (logic, load/store subword)
+use U8 decompositions that have no UIntLimbs analog either.
 """
 
 from __future__ import annotations

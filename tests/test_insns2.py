@@ -172,7 +172,7 @@ def test_mock_catches_bad_shift():
     bad = wm.to_columns()
     from ceno_tpu.field import gl
 
-    bad[cfg.rd_limbs[0].id] = gl.full(bad[cfg.rd_limbs[0].id].lo.shape, 123)
+    bad[cfg.rd_u.witins[0].id] = gl.full(bad[cfg.rd_u.witins[0].id].lo.shape, 123)
     with pytest.raises(MockProverError):
         assert_satisfied(cfg.cs, bad, len(group))
 
