@@ -57,10 +57,10 @@ def _rc(round_ctr: int, extra_dims: int) -> Gl:
 
 
 def _sbox(x: Gl) -> Gl:
-    # x^7 in 4 multiplications
-    x2 = gl.mul(x, x)
+    # x^7 in 2 squarings + 2 multiplications (gl.sqr is 3 widening muls)
+    x2 = gl.sqr(x)
     x3 = gl.mul(x2, x)
-    x4 = gl.mul(x2, x2)
+    x4 = gl.sqr(x2)
     return gl.mul(x3, x4)
 
 
@@ -69,7 +69,11 @@ def _mds(state: Gl) -> Gl:
 
     Expressed as a dot_general so XLA keeps it a single contraction (a
     broadcast-multiply-reduce gets duplicated into consumers by CPU fusion,
-    exploding LLVM compile time) and can tile it onto the MXU on TPU."""
+    exploding LLVM compile time).  Operands are cast to uint16 — both sides
+    genuinely fit (limbs < 2^16, matrix entries < 2^6) and the u16 integer
+    dot path measures ~2.5x the u32 one on TPU v5e (444 vs 179 M MDS/s at
+    batch 2^18); accumulation is exact in the uint32 result type
+    (column sums < 13*41*2^16 < 2^26)."""
     import jax
 
     mask = jnp.uint32(0xFFFF)
@@ -77,10 +81,10 @@ def _mds(state: Gl) -> Gl:
     limbs = jnp.stack(
         [state.lo & mask, state.lo >> 16, state.hi & mask, state.hi >> 16], axis=1
     )
-    flat = limbs.reshape(SPONGE_WIDTH, -1)
-    # out[r, k...] = sum_j M[r, j] * limbs[j, k...]   (max < 13*41*2^16 < 2^26)
+    flat = limbs.reshape(SPONGE_WIDTH, -1).astype(jnp.uint16)
+    # out[r, k...] = sum_j M[r, j] * limbs[j, k...]
     out = jax.lax.dot_general(
-        jnp.asarray(_MDS_NP),
+        jnp.asarray(_MDS_NP.astype(np.uint16)),
         flat,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.uint32,
