@@ -179,6 +179,9 @@ def check_lookup_values(
 
     chals = list(TEST_CHALLENGES)
     counts: Counter = Counter()
+    # key -> (circuit name, namespaced lk_record name, first instance index)
+    # for mock_prover.rs:163-296-quality "value not in table" diagnostics
+    first_seen: dict = {}
 
     def item_values(cs, items, wits, fx, st, n):
         cols = []
@@ -196,12 +199,17 @@ def check_lookup_values(
         st = structural.get(name, [])
         if getattr(cs, "lk_raw", None) and n_inst:
             n_padded = wits[0].lo.shape[0]
-            for rom, items in cs.lk_raw:
+            for li, (rom, items) in enumerate(cs.lk_raw):
                 cols = item_values(cs, items, wits, fx, st, n_padded)
                 if len(cols) == 1:
                     cols[0] = np.broadcast_to(cols[0], (n_padded,))
+                lk_name = (cs.lk_names[li] if li < len(getattr(cs, "lk_names", []))
+                           else f"lk[{li}]")
                 for i in range(n_inst):
-                    counts[(rom, tuple(int(c[i]) if c.ndim else int(c) for c in cols))] += 1
+                    key = (rom, tuple(int(c[i]) if c.ndim else int(c) for c in cols))
+                    counts[key] += 1
+                    if key not in first_seen:
+                        first_seen[key] = (name, lk_name, i)
         if getattr(cs, "lk_table_raw", None):
             n_padded = (wits[0].lo.shape[0] if wits else fx[0].lo.shape[0])
             for rom, items, mult in cs.lk_table_raw:
@@ -215,5 +223,26 @@ def check_lookup_values(
 
     bad = {k: v for k, v in counts.items() if v != 0}
     if bad:
-        sample = list(bad.items())[:8]
-        raise AssertionError(f"lookup value imbalance ({len(bad)} keys): {sample}")
+        from .circuit_builder import ROMType
+
+        rom_names = {v: k for k, v in vars(ROMType).items()
+                     if isinstance(v, int)}
+        msgs = []
+        for key, v in list(bad.items())[:8]:
+            rom, vals = key
+            rn = rom_names.get(rom, f"ROM#{rom}")
+            if v > 0:
+                circ, lkn, inst = first_seen.get(key, ("?", "?", -1))
+                msgs.append(
+                    f"value {list(vals)} not in {rn} table: {v} lookup(s) "
+                    f"unmatched — first by circuit '{circ}' record '{lkn}' "
+                    f"at instance {inst}"
+                )
+            else:
+                msgs.append(
+                    f"{rn} table multiplicity over-counts value {list(vals)} "
+                    f"by {-v} (exceeds opcode-side lookups)"
+                )
+        raise AssertionError(
+            f"lookup value imbalance ({len(bad)} keys):\n  " + "\n  ".join(msgs)
+        )

@@ -39,6 +39,46 @@ def test_profiler():
     assert "outer" in rep and "inner" in rep and "too_deep" not in rep
 
 
+def test_lookup_value_diagnostics_name_rom_and_circuit():
+    """mock_prover.rs:163-296 error quality: a broken lookup reports WHICH
+    value is missing from WHICH ROM table, naming the offending circuit and
+    the namespaced lk_record."""
+    import jax
+    import pytest
+
+    from ceno_tpu.emul import CENO_PLATFORM, Program, encode_rv32
+    from ceno_tpu.field import gl
+    from ceno_tpu.zkvm.debug import check_lookup_values
+    from ceno_tpu.zkvm.e2e import emulate_program
+
+    K = InsnKind
+    insns = [
+        encode_rv32(K.ADDI, 0, 0, 1, 7),
+        encode_rv32(K.ADDI, 1, 0, 2, 35),
+        encode_rv32(K.ECALL, 0, 0, 0, 0),
+    ]
+    program = Program.from_instructions(CENO_PLATFORM.pc_base(), insns)
+    vm, steps, pv = emulate_program(program, CENO_PLATFORM, 16)
+    config = Rv32imConfig.construct(4, kinds=(K.ADDI, K.ECALL))
+    wit, ni, st = config.assign_witnesses(steps, program, vm)
+    fx = config.generate_fixed_traces(program, np.zeros(64, dtype=np.uint64))
+    check_lookup_values(config, wit, ni, st, fx)  # healthy witness passes
+
+    # zero out one used multiplicity row of the U16 range table: the
+    # opcode-side lookups of that value are now "not in table"
+    mlts = np.asarray(jax.device_get(gl.to_u64(wit["RANGE_U16"][0])))
+    idx = int(np.flatnonzero(mlts)[0])
+    mlts_bad = mlts.copy()
+    mlts_bad[idx] = 0
+    wit_bad = dict(wit)
+    wit_bad["RANGE_U16"] = [gl.from_u64(mlts_bad)]
+    with pytest.raises(AssertionError) as ei:
+        check_lookup_values(config, wit_bad, ni, st, fx)
+    msg = str(ei.value)
+    assert f"value [{idx}] not in U16 table" in msg
+    assert "circuit '" in msg and "record '" in msg
+
+
 def test_mock_prover_catches_bad_witness():
     """MockProver accepts a genuinely-assigned ADD witness and flags a
     corrupted carry bit (mock_prover.rs assert_satisfied_raw analog)."""
