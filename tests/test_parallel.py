@@ -38,6 +38,38 @@ def _make_poly(seed, num_vars, degree):
     return vp
 
 
+def test_sharded_round_kernel_compiles_to_allreduce():
+    """The collectives exist: compiling ONE devirgo round kernel with its
+    inputs sharded over an 8-device mesh must place an `all-reduce` (the
+    psum of the d+1 round evaluations, SURVEY.md section 2.9) in the SPMD
+    module.  Compile-only — no mesh execution, so it runs on any host."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ceno_tpu.sumcheck.prover import _round_kernel
+
+    devices = conftest.cpu_mesh_devices(8)
+    mesh = make_mesh(devices=devices)
+    T = 8
+    vp = _make_poly(5, 6, 2)
+    sh = NamedSharding(mesh, PartitionSpec("shard", None))
+    mles = [
+        jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.asarray(a).reshape(T, -1), sh), m
+        )
+        for m in vp.mles
+    ]
+    scales = [t.coeff for t in vp.terms]
+    factors = tuple(t.factors for t in vp.terms)
+
+    def step(mles, scales):
+        _, evals = _round_kernel(mles, scales, None, factors=factors,
+                                 max_degree=2)
+        return evals
+
+    txt = jax.jit(step).lower(mles, scales).compile().as_text()
+    assert "all-reduce" in txt, "no all-reduce in SPMD module:\n" + txt[:2000]
+
+
 @_mesh_host_ok
 def test_mesh_prove_matches_single_chip():
     devices = conftest.cpu_mesh_devices(4)
