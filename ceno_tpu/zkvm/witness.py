@@ -51,9 +51,13 @@ class WitnessMatrix:
     """(num_cols, num_instances) uint64 matrix; columns indexed by WitIn id.
 
     Padding strategy 'default' zero-pads to the next power of two; 'last'
-    repeats the final instance row (used by some tables)."""
+    repeats the final instance row (used by some tables); a callable is
+    InstancePaddingStrategy::Custom (witness.rs:45-49): called as
+    fn(row_index_array, col_index) -> uint64 values for the pad rows of
+    each column (e.g. structural address sequences that must keep counting
+    past the real instances)."""
 
-    def __init__(self, num_cols: int, num_instances: int, padding: str = "default"):
+    def __init__(self, num_cols: int, num_instances: int, padding="default"):
         self.num_instances = num_instances
         # min 2: single-instance circuits still get a 1-bit instance axis
         # (reference next_pow2_instance_padding, utils.rs:187-189)
@@ -75,10 +79,17 @@ class WitnessMatrix:
             self.data[col, : self.num_instances] = a
 
     def finalize(self) -> None:
-        if self.padding == "last" and self.num_instances < self.padded and self.num_instances > 0:
+        if self.num_instances >= self.padded:
+            return
+        if self.padding == "last" and self.num_instances > 0:
             self.data[:, self.num_instances :] = self.data[
                 :, self.num_instances - 1 : self.num_instances
             ]
+        elif callable(self.padding):
+            rows = np.arange(self.num_instances, self.padded, dtype=np.uint64)
+            for col in range(self.data.shape[0]):
+                vals = np.asarray(self.padding(rows, col), dtype=np.uint64) % P
+                self.data[col, self.num_instances :] = vals
 
     def to_columns(self) -> List[Gl]:
         """Device columns, one Gl per WitIn."""

@@ -39,6 +39,20 @@ def test_profiler():
     assert "outer" in rep and "inner" in rep and "too_deep" not in rep
 
 
+def test_custom_instance_padding():
+    """InstancePaddingStrategy::Custom (witness.rs:45-49): callable padding
+    fills pad rows per column from (row_indices, col)."""
+    from ceno_tpu.zkvm.witness import WitnessMatrix
+
+    wm = WitnessMatrix(2, 3, padding=lambda rows, col: rows * 10 + col)
+    wm.set(0, np.array([1, 2, 3], dtype=np.uint64))
+    wm.set(1, np.array([4, 5, 6], dtype=np.uint64))
+    wm.finalize()
+    assert wm.padded == 4
+    assert wm.data[0].tolist() == [1, 2, 3, 30]
+    assert wm.data[1].tolist() == [4, 5, 6, 31]
+
+
 def test_lookup_value_diagnostics_name_rom_and_circuit():
     """mock_prover.rs:163-296 error quality: a broken lookup reports WHICH
     value is missing from WHICH ROM table, naming the offending circuit and
