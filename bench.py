@@ -478,24 +478,48 @@ def main():
             configs[name] = fn(*a, **kw)
             configs[name]["wall_s"] = round(time.time() - t0, 1)
             _log(f"  -> {configs[name]}")
+            mk = {"add_opcode_2e20": "add_opcode",
+                  "fibonacci_elf_2e20_truncated": "fib_elf"}.get(name)
+            if mk:
+                try:
+                    with open(f"/root/repo/.jax_cache/bench_{mk}_warm", "w") as f:
+                        f.write("ok\n")
+                except OSError:
+                    pass
         except Exception as e:  # record, never die silently
             configs[name] = {"error": f"{type(e).__name__}: {e}"}
             _log(f"  ERROR {name}: {e}")
 
     # BASELINE.md's named zkvm workloads run FIRST — in four rounds they never
     # completed inside the driver window when run last (VERDICT r4 weak #2).
-    # Their compiles are pre-warmed into .jax_cache during the build phase.
-    run("add_opcode_2e20", bench_add_opcode, 20)
-    run("fibonacci_elf_2e20_truncated", bench_fib_elf, 1 << 20, True)
+    # Their compiles are pre-warmed into .jax_cache during the build phase;
+    # the warm markers are written only after a COMPLETE local run, so a
+    # cold zkvm config can never burn the whole window and starve the rest
+    # (it runs last instead, with the partial-emit SIGTERM handler armed).
+    def warm(name):
+        return os.path.exists(f"/root/repo/.jax_cache/bench_{name}_warm") or \
+            BUDGET_S > 10000
 
     def sumcheck_both():
         r = bench_sumcheck_pair(20, (3, 2))
         configs["sumcheck_nv20_deg2"] = r[2]
         return r[3]
 
+    zkvm_configs = [
+        ("add_opcode_2e20", lambda: bench_add_opcode(20), warm("add_opcode")),
+        ("fibonacci_elf_2e20_truncated", lambda: bench_fib_elf(1 << 20, True),
+         warm("fib_elf")),
+    ]
+    for name, fn, w in zkvm_configs:
+        if w:
+            run(name, fn)
     run("sumcheck_nv20_deg3", sumcheck_both)
     run("poseidon_merkle_2e20", bench_poseidon_merkle, 20)
     run("basefold_2e22_commit_open_verify", bench_basefold, 22)
+    for name, fn, w in zkvm_configs:
+        if not w:
+            _log(f"NOTE {name}: compile cache not pre-warmed; running last")
+            run(name, fn)
 
     emit()
 
