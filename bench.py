@@ -194,14 +194,15 @@ def bench_poseidon_merkle(lg_leaves=20, runs=3):
         t = MerkleTree([leaves])
     _block(t.root().lo)
     dt = (time.time() - t0 - SYNC_S) / runs
-    # permutation count: n/2 leaf-pair hash_or_noop (1 permute each: 2 base
-    # elements <= rate) ... leaf pair = 2 elements -> hash_or_noop is a no-op
-    # pad for <=4 elems; the bottom layer still permutes once per pair via
-    # hash_n_to_m; upper layers: two_to_one = 1 permute per node, n/4+...+1.
-    permutes = n // 2 + (n // 2 - 1)
+    # TRUE permutation count (corrected in round 5; r1-r4 overcounted 2x):
+    # a single base leaf vector's bottom layer is hash_or_noop over 2-element
+    # pairs, which is an identity zero-pad — NO permute.  Real permutes are
+    # the two_to_one compressions of the n/2 bottom digests: n/2 - 1 total.
+    permutes = n // 2 - 1
     return {
         "seconds_per_tree_2e%d" % lg_leaves: round(dt, 4),
         "poseidon_permutes_per_s_M": round(permutes / dt / 1e6, 2),
+        "poseidon_permutes_note": "count corrected in r5: r1-r4 reported 2x",
         "leaves_per_s_M": round(n / dt / 1e6, 2),
     }
 
